@@ -1,0 +1,34 @@
+# Build + check entry points (the reference ships per-variant Makefiles with a
+# `check` target, e.g. MPI/Makefile:21-22; here one Makefile covers the repo).
+
+CXX ?= g++
+CXXFLAGS ?= -O3 -std=c++17 -fPIC -Wall -Wextra
+NATIVE_DIR := native
+NATIVE_BUILD := $(NATIVE_DIR)/build
+NATIVE_LIB := $(NATIVE_BUILD)/liblbmio.so
+
+.PHONY: all native test check clean
+
+all: native
+
+native: $(NATIVE_LIB)
+
+$(NATIVE_LIB): $(NATIVE_DIR)/lbmio.cpp
+	mkdir -p $(NATIVE_BUILD)
+	$(CXX) $(CXXFLAGS) -shared -o $@ $<
+
+test:
+	python -m pytest tests/ -x -q
+
+# Run the 128x128 scene end-to-end and validate against the reference golden
+# data at 1% tolerance (the reference's `make check` contract).
+check: native
+	python -m lbm_tpu run /root/reference/dataSet/input_128x128.params \
+	    /root/reference/dataSet/obstacles_128x128.dat
+	python -m lbm_tpu.tools.check \
+	    --ref-av-vels-file /root/reference/check/128x128.av_vels.dat \
+	    --ref-final-state-file /root/reference/check/128x128.final_state.dat \
+	    --av-vels-file av_vels.dat --final-state-file final_state.dat
+
+clean:
+	rm -rf $(NATIVE_BUILD)
