@@ -1,0 +1,45 @@
+"""Headline benchmark: MLUPS on the 1024x1024 scene, single chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline compares against the reference's best published configuration
+for this grid: fully-async MPI on 80 cores = 1796 MLUPS (README.md:129,
+derived in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    grid = os.environ.get("LBM_BENCH_GRID", "1024x1024")
+    steps = os.environ.get("LBM_BENCH_STEPS")
+    variant = os.environ.get("LBM_BENCH_VARIANT", "auto")
+
+    from lbm_tpu.tools.bench import run_bench
+
+    report = run_bench(
+        grid=grid,
+        variant=variant,
+        steps=int(steps) if steps else None,
+        repeats=int(os.environ.get("LBM_BENCH_REPEATS", "2")),
+    )
+    print(
+        json.dumps(
+            {
+                "metric": report["metric"],
+                "value": report["value"],
+                "unit": report["unit"],
+                "vs_baseline": report["vs_baseline"],
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,214 @@
+"""Command-line interface.
+
+``python -m lbm_tpu run <paramfile> <obstaclefile>`` mirrors the reference
+binary's invocation (SerialCode/d2q9-bgk.c:45-52) and its stdout report
+(==done==, Reynolds number, phase timings, SerialCode/d2q9-bgk.c:195-200),
+then writes ``final_state.dat`` and ``av_vels.dat``.  Additional subcommands
+cover validation (``check``, the check.py analog), benchmarking (``bench``),
+and visualization (``viz``, ``animate``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _add_run_args(p: argparse.ArgumentParser) -> None:
+    p.add_argument("paramfile")
+    p.add_argument("obstaclefile")
+    p.add_argument(
+        "--variant",
+        default="auto",
+        help="solver variant: serial | jnp | pallas | sync | overlap | async | "
+        "async-k (aliases: openmp, mpi, waitall, testall); default auto",
+    )
+    p.add_argument("--devices", type=int, default=None, help="mesh size for sharded variants")
+    p.add_argument("--staleness", type=int, default=1, help="halo age for async variants")
+    p.add_argument("--steps", type=int, default=None, help="override maxIters")
+    p.add_argument("--frame-interval", type=int, default=None, help="capture |u| every k steps")
+    p.add_argument("--out-dir", default=".", help="output directory")
+    p.add_argument("--final-state-file", default="final_state.dat")
+    p.add_argument("--av-vels-file", default="av_vels.dat")
+    p.add_argument("--no-output", action="store_true", help="skip writing result files")
+    p.add_argument(
+        "--platform",
+        default=None,
+        help="force a jax platform (e.g. cpu); with cpu, --host-devices N "
+        "creates N virtual devices for sharded variants",
+    )
+    p.add_argument("--host-devices", type=int, default=None)
+
+
+def _apply_platform(platform: str | None, host_devices: int | None) -> None:
+    """Force the jax platform before any backend initialisation.
+
+    Needed because some environments pre-register an accelerator plugin that
+    overrides JAX_PLATFORMS.
+    """
+    if host_devices:
+        flags = os.environ.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            os.environ["XLA_FLAGS"] = (
+                flags + f" --xla_force_host_platform_device_count={host_devices}"
+            ).strip()
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
+def cmd_run(args: argparse.Namespace) -> int:
+    from lbm_tpu.io import load_scene, write_av_vels, write_final_state
+    from lbm_tpu.models.driver import RunConfig, run_simulation
+
+    _apply_platform(args.platform, args.host_devices)
+    scene = load_scene(args.paramfile, args.obstaclefile)
+    config = RunConfig(
+        variant=args.variant,
+        num_devices=args.devices,
+        staleness=args.staleness,
+        num_steps=args.steps,
+        frame_interval=args.frame_interval,
+    )
+    import jax
+
+    # Device banner (the analog of the reference's per-rank banner,
+    # MPI/d2q9-bgk.c:151).
+    devs = jax.devices()
+    print(f"lbm_tpu: backend={jax.default_backend()} devices={len(devs)} ({devs[0].device_kind})")
+
+    result = run_simulation(scene, config)
+
+    print("==done==")
+    print("Reynolds number:\t\t%.12E" % result.reynolds)
+    print(result.timer.report())
+    print("Compute rate:\t\t\t%.1f MLUPS" % result.mlups)
+
+    if not args.no_output:
+        os.makedirs(args.out_dir, exist_ok=True)
+        write_final_state(
+            os.path.join(args.out_dir, args.final_state_file),
+            result.f,
+            scene.obstacles,
+            scene.params,
+        )
+        write_av_vels(os.path.join(args.out_dir, args.av_vels_file), result.av_vels)
+        if result.frames is not None:
+            from lbm_tpu.tools.animation import write_frame_files
+
+            write_frame_files(
+                os.path.join(args.out_dir, "animation_data"),
+                result.frames,
+                result.frame_steps,
+                scene.params,
+            )
+    return 0
+
+
+def cmd_check(argv: list[str]) -> int:
+    from lbm_tpu.tools.check import main as check_main
+
+    return check_main(argv)
+
+
+def cmd_bench(args: argparse.Namespace) -> int:
+    _apply_platform(args.platform, args.host_devices)
+    from lbm_tpu.tools.bench import run_bench
+
+    report = run_bench(
+        grid=args.grid,
+        variant=args.variant,
+        steps=args.steps,
+        devices=args.devices,
+        repeats=args.repeats,
+    )
+    print(json.dumps(report))
+    return 0
+
+
+def cmd_viz(args: argparse.Namespace) -> int:
+    from lbm_tpu.tools.visualize import render_final_state
+
+    out = render_final_state(args.final_state, args.output, obstacle_outline=True)
+    print(f"wrote {out}")
+    return 0
+
+
+def cmd_animate(args: argparse.Namespace) -> int:
+    from lbm_tpu.tools.animation import animate_directory
+
+    out = animate_directory(args.frames_dir, args.output, fps=args.fps)
+    print(f"wrote {out}")
+    return 0
+
+
+def cmd_info(_args: argparse.Namespace) -> int:
+    import jax
+
+    print(f"jax {jax.__version__}, backend={jax.default_backend()}")
+    for d in jax.devices():
+        print(f"  {d.id}: {d.device_kind} ({d.platform})")
+    from lbm_tpu.io import native
+
+    print(f"native io: {'available' if native.available() else 'not built (make native)'}")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    parser = argparse.ArgumentParser(prog="lbm_tpu", description=__doc__)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p_run = sub.add_parser("run", help="run a simulation scene")
+    _add_run_args(p_run)
+
+    sub.add_parser("check", help="validate outputs against reference results", add_help=False)
+
+    p_bench = sub.add_parser("bench", help="benchmark a grid/variant")
+    p_bench.add_argument("--grid", default="1024x1024")
+    p_bench.add_argument("--variant", default="auto")
+    p_bench.add_argument("--steps", type=int, default=None)
+    p_bench.add_argument("--devices", type=int, default=None)
+    p_bench.add_argument("--repeats", type=int, default=3)
+    p_bench.add_argument("--platform", default=None)
+    p_bench.add_argument("--host-devices", type=int, default=None)
+
+    p_viz = sub.add_parser("viz", help="render 4-panel plots from final_state.dat")
+    p_viz.add_argument("final_state")
+    p_viz.add_argument("--output", default="final_state.png")
+
+    p_anim = sub.add_parser("animate", help="build a GIF from animation frames")
+    p_anim.add_argument("frames_dir")
+    p_anim.add_argument("--output", default="animation.gif")
+    p_anim.add_argument("--fps", type=int, default=10)
+
+    sub.add_parser("info", help="print device/runtime info")
+
+    # `check` forwards unparsed args to the checker for flag compatibility.
+    if argv and argv[0] == "check":
+        return cmd_check(argv[1:])
+
+    args = parser.parse_args(argv)
+    handler = {
+        "run": cmd_run,
+        "bench": cmd_bench,
+        "viz": cmd_viz,
+        "animate": cmd_animate,
+        "info": cmd_info,
+    }[args.command]
+    try:
+        return handler(args)
+    except (OSError, ValueError) as e:
+        # The reference die()s with a message and exit(1)
+        # (SerialCode/d2q9-bgk.c:745-751).
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

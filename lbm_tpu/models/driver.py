@@ -1,0 +1,206 @@
+"""Simulation driver: the on-device timestep loop and its orchestration.
+
+The analog of the reference's ``main()`` (SerialCode/d2q9-bgk.c:132-205,
+MPI/d2q9-bgk.c:130-331): initialise, run the timestep loop, collate, report,
+write.  TPU-first restructuring: the entire ``max_iters`` loop runs on device
+under ``lax.scan`` with the per-step av_velocity reduction fused in, so the
+host touches data exactly twice (init upload, final download).  Optional
+animation frames are captured on device into a preallocated buffer during the
+scan and flushed afterwards — the deterministic equivalent of the reference's
+rank-local RAM frame cache that defers all I/O until after the timed loop
+(MPI_Testall_OptimizedVersion/d2q9-bgk.c:130-146, 1093-1273).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from lbm_tpu.core import oracle
+from lbm_tpu.io.scene import Scene
+from lbm_tpu.models.variants import resolve_variant
+from lbm_tpu.parallel import modes
+from lbm_tpu.parallel import mesh as mesh_lib
+from lbm_tpu.utils.timing import PhaseTimer
+
+
+@dataclasses.dataclass
+class RunConfig:
+    variant: str = "auto"
+    num_devices: int | None = None  # sharded variants: mesh size (None = all)
+    staleness: int = 1  # async variants: halo age in steps
+    num_steps: int | None = None  # override params.max_iters
+    frame_interval: int | None = None  # capture |u| every k steps (None = off)
+    backend: str | None = None  # force "jnp"/"pallas" slab compute
+    donate: bool = True  # donate the state buffer across scan steps
+
+
+@dataclasses.dataclass
+class RunResult:
+    f: np.ndarray  # (9, ny, nx) final distributions
+    av_vels: np.ndarray  # (steps,) float32
+    reynolds: float
+    timer: PhaseTimer
+    variant: str
+    frames: np.ndarray | None = None  # (n_frames, ny, nx) |u| snapshots
+    frame_steps: np.ndarray | None = None
+
+    @property
+    def mlups(self) -> float:
+        """Million lattice-cell updates per second of the compute phase."""
+        cells = self.f.shape[1] * self.f.shape[2]
+        steps = len(self.av_vels)
+        secs = self.timer.elapsed.get("compute", 0.0)
+        return cells * steps / secs / 1e6 if secs > 0 else float("nan")
+
+
+def _pick_variant(scene: Scene, config: RunConfig) -> str:
+    variant = resolve_variant(config.variant)
+    if variant != "auto":
+        return variant
+    # Prefer the Pallas kernel on TPU when the grid maps onto it.
+    from lbm_tpu.ops import fused_pallas
+
+    backend = jax.default_backend()
+    if backend not in ("cpu",) and fused_pallas.supports(scene.params):
+        return "pallas"
+    return "jnp"
+
+
+def build_program(scene: Scene, config: RunConfig) -> modes.StepProgram:
+    variant = _pick_variant(scene, config)
+    params, obst = scene.params, scene.obstacles
+    if variant in ("jnp", "pallas"):
+        return modes.build_single_program(
+            params, obst, backend=config.backend or variant
+        )
+    if variant in ("sync", "overlap", "async", "async-k"):
+        mesh = mesh_lib.make_row_mesh(config.num_devices)
+        mode = "async" if variant == "async-k" else variant
+        staleness = config.staleness if variant.startswith("async") else 1
+        if variant == "async-k" and config.staleness == 1:
+            staleness = 2  # the explicit-queue variant defaults to deeper pipelining
+        return modes.build_sharded_program(
+            params,
+            obst,
+            mesh,
+            mode=mode,
+            staleness=staleness,
+            backend=config.backend or "jnp",
+        )
+    raise ValueError(f"variant {variant!r} has no program builder")
+
+
+def _make_scan(program: modes.StepProgram, num_steps: int, frame_interval: int | None):
+    """Compile the whole timestep loop into one on-device scan."""
+    step = program.step
+
+    if frame_interval is None:
+
+        def body(state, _):
+            state, tot_u = step(state)
+            return state, tot_u
+
+        def run(state):
+            state, tot_us = lax.scan(body, state, None, length=num_steps)
+            return state, tot_us, None
+
+    else:
+        n_frames = math.ceil(num_steps / frame_interval)
+        interval = frame_interval
+
+        def body(carry, tt):
+            state, frames = carry
+            state, tot_u = step(state)
+            frame = program.u_mag(state)
+            take = (tt % interval) == 0
+            idx = tt // interval
+            frames = lax.cond(
+                take,
+                lambda fr: lax.dynamic_update_slice(fr, frame[None], (idx, 0, 0)),
+                lambda fr: fr,
+                frames,
+            )
+            return (state, frames), tot_u
+
+        def run(state):
+            ny, nx = program.init_state_shape_hint
+            frames0 = jnp.zeros((n_frames, ny, nx), dtype=jnp.float32)
+            if program.mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                frames0 = jax.device_put(
+                    frames0, NamedSharding(program.mesh, P(None, mesh_lib.ROWS, None))
+                )
+            (state, frames), tot_us = lax.scan(
+                body, (state, frames0), jnp.arange(num_steps)
+            )
+            return state, tot_us, frames
+
+    return jax.jit(run, donate_argnums=(0,))
+
+
+def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
+    """Run a full simulation: init → compute (one on-device scan) → collate."""
+    config = config or RunConfig()
+    variant = _pick_variant(scene, config)
+    params = scene.params
+    num_steps = config.num_steps if config.num_steps is not None else params.max_iters
+    timer = PhaseTimer()
+
+    if variant == "serial":
+        with timer.section("init"):
+            obst = scene.obstacles
+        with timer.section("compute"):
+            f, av_vels = oracle.run(params, obst, num_steps=num_steps)
+        with timer.section("collate"):
+            pass
+        reynolds = params.reynolds_dim * float(av_vels[-1]) / params.viscosity if num_steps else 0.0
+        return RunResult(f=f, av_vels=av_vels, reynolds=reynolds, timer=timer, variant=variant)
+
+    timer.start("init")
+    program = build_program(scene, config)
+    # Shape hint for the frames buffer (global grid extents).
+    program.init_state_shape_hint = (params.ny, params.nx)  # type: ignore[attr-defined]
+    run = _make_scan(program, num_steps, config.frame_interval)
+    # Compile before timing the compute phase (compilation is init cost, as
+    # the reference's timed Compute section starts after initialise).
+    state0 = program.init_state
+    compiled = run.lower(state0).compile()
+    timer.stop("init")
+
+    timer.start("compute")
+    state, tot_us, frames = compiled(state0)
+    jax.block_until_ready(tot_us)
+    timer.stop("compute")
+
+    timer.start("collate")
+    f = np.asarray(jax.device_get(program.f_of(state)), dtype=np.float32)
+    tot_us = np.asarray(jax.device_get(tot_us), dtype=np.float32)
+    av_vels = tot_us / np.float32(program.tot_cells)
+    frames_np = None
+    frame_steps = None
+    if frames is not None:
+        frames_np = np.asarray(jax.device_get(frames), dtype=np.float32)
+        frame_steps = np.arange(frames_np.shape[0]) * config.frame_interval
+    timer.stop("collate")
+
+    reynolds = (
+        params.reynolds_dim * float(av_vels[-1]) / params.viscosity if num_steps else 0.0
+    )
+    return RunResult(
+        f=f,
+        av_vels=av_vels,
+        reynolds=reynolds,
+        timer=timer,
+        variant=program.variant,
+        frames=frames_np,
+        frame_steps=frame_steps,
+    )

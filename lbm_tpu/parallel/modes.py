@@ -1,0 +1,321 @@
+"""Row-sharded step programs: the three halo-exchange disciplines.
+
+The reference ladder implements one domain decomposition (1-D row bands with
+one halo row per side) under three communication disciplines:
+
+- **sync** — blocking bidirectional exchange before any compute
+  (two MPI_Sendrecv per step, MPI/d2q9-bgk.c:224-231);
+- **overlap** — post sends/receives, compute interior rows during transfer,
+  wait, then compute the two halo-dependent boundary rows
+  (MPI_Waitall/d2q9-bgk.c:217-266);
+- **async / stale halos** — never wait: boundary rows compute with whatever
+  halo data is present, in practice one step old
+  (MPI_Testall_OptimizedVersion/d2q9-bgk.c:251-307).
+
+Here the decomposition is a ``shard_map`` over a 1-D mesh and the exchange is
+a pair of ``lax.ppermute`` ring shifts over ICI.  XLA SPMD is bulk-
+synchronous, so the async discipline becomes *deterministic bounded
+staleness*: the ppermute that delivers step t+1's halos is issued at step t
+and overlaps the whole of step t's compute, and boundary rows consume halo
+rows exactly one step (or k steps, ``async-k``) old.  This is a
+better-behaved version of the reference's "whatever arrived" semantics with
+the same accuracy contract (<1% deviation from sync, README.md:9-13).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any, Callable
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from lbm_tpu.core import lattice
+from lbm_tpu.ops import fused_jnp
+from lbm_tpu.params import LBMParams
+from lbm_tpu.parallel import mesh as mesh_lib
+
+ROWS = mesh_lib.ROWS
+
+
+@dataclasses.dataclass
+class StepProgram:
+    """A runnable step program over (possibly sharded) global arrays."""
+
+    init_state: Any  # pytree; leaves are device arrays
+    step: Callable[[Any], tuple[Any, jax.Array]]  # state -> (state, tot_u)
+    f_of: Callable[[Any], jax.Array]  # state -> (9, ny, nx) global
+    u_mag: Callable[[Any], jax.Array]  # state -> (ny, nx) |u|, 0 on obstacles
+    tot_cells: int
+    mesh: Any | None
+    variant: str
+
+
+def _u_mag_fn(obstacles: jax.Array) -> Callable[[jax.Array], jax.Array]:
+    def u_mag(f: jax.Array) -> jax.Array:
+        rho = jnp.sum(f, axis=0)
+        u_x = ((f[1] + f[5] + f[8]) - (f[3] + f[6] + f[7])) / rho
+        u_y = ((f[2] + f[5] + f[6]) - (f[4] + f[7] + f[8])) / rho
+        speed = jnp.sqrt(u_x * u_x + u_y * u_y)
+        return jnp.where(obstacles, jnp.float32(0.0), speed)
+
+    return u_mag
+
+
+def build_single_program(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    f0: np.ndarray | None = None,
+    backend: str = "jnp",
+) -> StepProgram:
+    """Single-device program (periodic full grid); ``backend`` selects the
+    jnp step or the Pallas kernel."""
+    if f0 is None:
+        f0 = lattice.equilibrium_rest(params.density, params.ny, params.nx)
+    obst = jnp.asarray(obstacles, dtype=bool)
+    tot_cells = int(obstacles.size - np.count_nonzero(obstacles))
+
+    if backend == "pallas":
+        from lbm_tpu.ops import fused_pallas
+
+        kernel_step = fused_pallas.make_step(params, np.asarray(obstacles))
+
+        def step(f):
+            return kernel_step(f)
+
+    else:
+
+        def step(f):
+            return fused_jnp.fused_step_single(f, obst, params)
+
+    mag = _u_mag_fn(obst)
+    return StepProgram(
+        init_state=jnp.asarray(f0, dtype=jnp.float32),
+        step=step,
+        f_of=lambda f: f,
+        u_mag=mag,
+        tot_cells=tot_cells,
+        mesh=None,
+        variant=backend,
+    )
+
+
+def _extended_obstacle_slabs(obstacles: np.ndarray, num_shards: int) -> np.ndarray:
+    """Per-shard obstacle slabs with one (periodically wrapped) ghost row on
+    each side, shape (R, nloc+2, nx).  Static, built once at init — the
+    analog of the reference's per-rank obstacle scatter
+    (MPI/d2q9-bgk.c:730-828), with ghost rows added because the fused step
+    applies the driven-row injection to ghost rows too."""
+    ny, _ = obstacles.shape
+    nloc = ny // num_shards
+    slabs = []
+    for r in range(num_shards):
+        rows = np.arange(r * nloc - 1, r * nloc + nloc + 1) % ny
+        slabs.append(obstacles[rows])
+    return np.stack(slabs)
+
+
+def build_sharded_program(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    mesh,
+    mode: str = "sync",
+    staleness: int = 1,
+    f0: np.ndarray | None = None,
+    backend: str = "jnp",
+) -> StepProgram:
+    """Row-sharded step program over ``mesh`` in one of the three disciplines.
+
+    Args:
+      mode: "sync", "overlap", or "async" ("async" with staleness > 1 is the
+        explicit halo-queue variant, the deterministic analog of the
+        reference's old-halo bookkeeping, MPI_Testall_ComplexVersion/
+        d2q9-bgk.c:271-346).
+      staleness: halo age in steps for async mode (k >= 1).
+      backend: "jnp" or "pallas" for the per-shard slab compute.
+    """
+    ny, nx = obstacles.shape
+    num_shards = mesh.shape[ROWS]
+    if ny % num_shards != 0:
+        raise ValueError(
+            f"ny={ny} must be divisible by the mesh size {num_shards}; "
+            "pad the scene or choose a different device count"
+        )
+    nloc = ny // num_shards
+    if nloc < 2:
+        raise ValueError(f"need at least 2 rows per shard, got {nloc}")
+    if mode not in ("sync", "overlap", "async"):
+        raise ValueError(f"unknown sharded mode {mode!r}")
+    if staleness < 1:
+        raise ValueError("staleness must be >= 1")
+
+    if f0 is None:
+        f0 = lattice.equilibrium_rest(params.density, params.ny, params.nx)
+    tot_cells = int(obstacles.size - np.count_nonzero(obstacles))
+    fwd, bwd = mesh_lib.ring_perms(num_shards)
+
+    f_sharding = mesh_lib.row_sharding(mesh)
+    obst_global = jax.device_put(
+        jnp.asarray(obstacles, dtype=bool), mesh_lib.mask_sharding(mesh)
+    )
+    obst_slabs = jax.device_put(
+        jnp.asarray(_extended_obstacle_slabs(obstacles, num_shards)),
+        NamedSharding(mesh, P(ROWS, None, None)),
+    )
+    f_init = jax.device_put(jnp.asarray(f0, dtype=jnp.float32), f_sharding)
+
+    if backend == "pallas":
+        from lbm_tpu.ops import fused_pallas
+
+        slab_step = fused_pallas.make_slab_step(params, nloc, nx)
+    else:
+        slab_step = None
+
+    def local_slab_step(slab, obst_slab, row_offset):
+        """(9, nloc+2, nx) ghosted slab -> ((9, nloc, nx), tot_u)."""
+        if slab_step is not None:
+            return slab_step(slab, obst_slab, row_offset)
+        return fused_jnp.fused_step_slab(slab, obst_slab, params, row_offset)
+
+    def exchange(f_local):
+        """Ring halo exchange: returns (ghost row below, ghost row above) —
+        the ppermute analog of the reference's paired Sendrecv
+        (MPI/d2q9-bgk.c:224-231)."""
+        ghost_lo = lax.ppermute(f_local[:, -1:, :], ROWS, fwd)
+        ghost_hi = lax.ppermute(f_local[:, :1, :], ROWS, bwd)
+        return ghost_lo, ghost_hi
+
+    def shard_row_offset():
+        return lax.axis_index(ROWS) * nloc
+
+    # --- the three per-shard step disciplines -------------------------------
+
+    def step_sync(f_local, obst_slab):
+        ghost_lo, ghost_hi = exchange(f_local)
+        # Barrier: all data (including halos) must be in place before any
+        # compute starts — the blocking-Sendrecv discipline.
+        f_local, ghost_lo, ghost_hi = lax.optimization_barrier(
+            (f_local, ghost_lo, ghost_hi)
+        )
+        slab = jnp.concatenate([ghost_lo, f_local, ghost_hi], axis=1)
+        new_f, tot_u = local_slab_step(slab, obst_slab, shard_row_offset())
+        return new_f, tot_u
+
+    def step_overlap(f_local, obst_slab):
+        off = shard_row_offset()
+        ghost_lo, ghost_hi = exchange(f_local)
+        # Interior rows 1..nloc-2 depend only on local data, so XLA can
+        # compute them while the ppermutes are in flight — the Isend/Irecv +
+        # interior-compute + Waitall discipline (MPI_Waitall/d2q9-bgk.c:234-253).
+        interior, tot_u_int = local_slab_step(f_local, obst_slab[1:-1], off + 1)
+        bot_slab = jnp.concatenate([ghost_lo, f_local[:, :2]], axis=1)
+        bot, tot_u_bot = local_slab_step(bot_slab, obst_slab[:3], off)
+        top_slab = jnp.concatenate([f_local[:, -2:], ghost_hi], axis=1)
+        top, tot_u_top = local_slab_step(top_slab, obst_slab[-3:], off + nloc - 1)
+        new_f = jnp.concatenate([bot, interior, top], axis=1)
+        return new_f, (tot_u_int + tot_u_bot) + tot_u_top
+
+    def step_async(carry, obst_slab):
+        # carry ghosts are one step old; the exchange issued here delivers
+        # ghosts for the NEXT step, so it overlaps this entire step's compute
+        # — the deterministic analog of the single ignored MPI_Testall poll
+        # (MPI_Testall_OptimizedVersion/d2q9-bgk.c:279-290).
+        f_local, ghost_lo, ghost_hi = carry
+        new_ghosts = exchange(f_local)
+        slab = jnp.concatenate([ghost_lo, f_local, ghost_hi], axis=1)
+        new_f, tot_u = local_slab_step(slab, obst_slab, shard_row_offset())
+        return (new_f, *new_ghosts), tot_u
+
+    def step_async_k(carry, obst_slab):
+        # Explicit halo queue: ghosts consumed are k steps old.  The
+        # deterministic counterpart of the reference's old-halo buffers
+        # (MPI_Testall_ComplexVersion/d2q9-bgk.c:185-187, 271-346).
+        f_local, q_lo, q_hi = carry
+        new_lo, new_hi = exchange(f_local)
+        ghost_lo, ghost_hi = q_lo[0], q_hi[0]
+        q_lo = jnp.concatenate([q_lo[1:], new_lo[None]], axis=0)
+        q_hi = jnp.concatenate([q_hi[1:], new_hi[None]], axis=0)
+        slab = jnp.concatenate([ghost_lo, f_local, ghost_hi], axis=1)
+        new_f, tot_u = local_slab_step(slab, obst_slab, shard_row_offset())
+        return (new_f, q_lo, q_hi), tot_u
+
+    # --- wrap in shard_map over global arrays -------------------------------
+
+    f_spec = P(None, ROWS, None)
+    slab_spec = P(ROWS, None, None)
+
+    def spmd(per_shard, state_specs):
+        """shard_map a per-shard step into a global-state step; the obstacle
+        slab rides along and tot_u is psum-reduced (the MPI_Reduce analog,
+        MPI/d2q9-bgk.c:298-309)."""
+
+        def shard_fn(state, obst_slab):
+            new_state, tot_u = per_shard(state, obst_slab[0])
+            return new_state, lax.psum(tot_u, ROWS)
+
+        mapped = jax.shard_map(
+            shard_fn,
+            mesh=mesh,
+            in_specs=(state_specs, slab_spec),
+            out_specs=(state_specs, P()),
+            check_vma=False,
+        )
+
+        def step(state):
+            return mapped(state, obst_slabs)
+
+        return step
+
+    # Per-shard ghost rows live as global arrays of shape (9, R, nx) sharded
+    # over the middle axis, one row per shard, so they reuse f_spec.
+    if mode == "sync":
+        step = spmd(step_sync, f_spec)
+        init_state = f_init
+        f_of = lambda s: s
+    elif mode == "overlap":
+        step = spmd(step_overlap, f_spec)
+        init_state = f_init
+        f_of = lambda s: s
+    else:  # async
+        init_ghosts = jax.jit(
+            jax.shard_map(
+                exchange,
+                mesh=mesh,
+                in_specs=f_spec,
+                out_specs=(f_spec, f_spec),
+                check_vma=False,
+            )
+        )
+        g_lo0, g_hi0 = init_ghosts(f_init)
+        if staleness == 1:
+            step = spmd(step_async, (f_spec, f_spec, f_spec))
+            init_state = (f_init, g_lo0, g_hi0)
+        else:
+            qspec = P(None, None, ROWS, None)
+            q_lo0 = jnp.broadcast_to(g_lo0[None], (staleness,) + g_lo0.shape)
+            q_hi0 = jnp.broadcast_to(g_hi0[None], (staleness,) + g_hi0.shape)
+            q_lo0 = jax.device_put(q_lo0, NamedSharding(mesh, qspec))
+            q_hi0 = jax.device_put(q_hi0, NamedSharding(mesh, qspec))
+            step = spmd(step_async_k, (f_spec, qspec, qspec))
+            init_state = (f_init, q_lo0, q_hi0)
+        f_of = lambda s: s[0]
+
+    mag_local = _u_mag_fn(obst_global)
+
+    def u_mag(state):
+        return mag_local(f_of(state))
+
+    return StepProgram(
+        init_state=init_state,
+        step=step,
+        f_of=f_of,
+        u_mag=u_mag,
+        tot_cells=tot_cells,
+        mesh=mesh,
+        variant=f"{mode}" + (f"-{staleness}" if mode == "async" and staleness > 1 else ""),
+    )

@@ -15,6 +15,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax
+
+# Some environments pre-register an accelerator plugin that overrides
+# JAX_PLATFORMS; force the CPU backend explicitly.
+jax.config.update("jax_platforms", "cpu")
+assert len(jax.devices()) == 8, "tests expect an 8-device virtual CPU mesh"
+
 import pathlib
 
 import numpy as np

@@ -1,0 +1,85 @@
+"""Driver (scan loop, frames, timing) and variant registry tests."""
+
+import numpy as np
+import pytest
+
+from lbm_tpu.core import oracle
+from lbm_tpu.io.scene import Scene
+from lbm_tpu.models import RunConfig, run_simulation, resolve_variant
+from lbm_tpu.models.variants import VARIANTS
+
+
+@pytest.fixture
+def scene(small_params, small_obstacles):
+    return Scene(params=small_params.replace(max_iters=30), obstacles=small_obstacles)
+
+
+def test_variant_registry_covers_reference_ladder():
+    analogs = {v.reference_analog.split("/")[0] for v in VARIANTS.values()}
+    for ref_dir in (
+        "SerialCode",
+        "OpenMP",
+        "MPI",
+        "MPI_Waitall",
+        "MPI_Testall_OptimizedVersion",
+        "MPI_Testall_ComplexVersion",
+    ):
+        assert any(ref_dir in v.reference_analog for v in VARIANTS.values()), ref_dir
+    assert resolve_variant("testall") == "async"
+    assert resolve_variant("openmp") == "jnp"
+    with pytest.raises(ValueError):
+        resolve_variant("nope")
+
+
+def test_driver_jnp_matches_oracle(scene):
+    result = run_simulation(scene, RunConfig(variant="jnp"))
+    f_o, av_o = oracle.run(scene.params, scene.obstacles)
+    np.testing.assert_allclose(result.f, f_o, atol=2e-7)
+    np.testing.assert_allclose(result.av_vels, av_o, rtol=1e-4)
+    assert result.timer.elapsed["compute"] > 0
+    assert np.isfinite(result.reynolds)
+
+
+def test_driver_serial_variant(scene):
+    result = run_simulation(scene, RunConfig(variant="serial"))
+    f_o, av_o = oracle.run(scene.params, scene.obstacles)
+    np.testing.assert_array_equal(result.f, f_o)
+    np.testing.assert_array_equal(result.av_vels, av_o)
+
+
+def test_driver_sharded(scene):
+    ref = run_simulation(scene, RunConfig(variant="jnp"))
+    for variant in ("sync", "overlap"):
+        res = run_simulation(scene, RunConfig(variant=variant, num_devices=8))
+        np.testing.assert_array_equal(res.f, ref.f)
+    res = run_simulation(scene, RunConfig(variant="async", num_devices=8))
+    rel = np.abs(res.f - ref.f).max() / np.abs(ref.f).max()
+    assert rel < 1e-2
+
+
+def test_driver_frames(scene):
+    result = run_simulation(
+        scene, RunConfig(variant="jnp", frame_interval=10)
+    )
+    assert result.frames is not None
+    assert result.frames.shape == (3, scene.params.ny, scene.params.nx)
+    np.testing.assert_array_equal(result.frame_steps, [0, 10, 20])
+    # Frames are |u| with obstacles zeroed; frame 0 is the state after the
+    # first step: driven row has moved, so non-zero somewhere.
+    assert result.frames[0][scene.obstacles].max() == 0.0
+    assert result.frames[-1].max() > 0.0
+    # Later frames show more developed flow.
+    assert result.frames[-1].max() >= result.frames[0].max()
+
+
+def test_driver_frames_sharded(scene):
+    ref = run_simulation(scene, RunConfig(variant="jnp", frame_interval=10))
+    res = run_simulation(
+        scene, RunConfig(variant="sync", num_devices=8, frame_interval=10)
+    )
+    np.testing.assert_array_equal(res.frames, ref.frames)
+
+
+def test_mlups_metric(scene):
+    result = run_simulation(scene, RunConfig(variant="jnp"))
+    assert result.mlups > 0
