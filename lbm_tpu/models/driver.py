@@ -65,11 +65,12 @@ def _pick_variant(scene: Scene, config: RunConfig) -> str:
     variant = resolve_variant(config.variant)
     if variant != "auto":
         return variant
-    # Prefer the Pallas kernel on TPU when the grid maps onto it.
-    from lbm_tpu.ops import fused_pallas
+    # Auto policy (single chip): the VMEM-resident Pallas kernel when the
+    # grid fits on-chip (far fastest); otherwise the XLA-fused jnp step,
+    # which currently outruns the block-Pallas kernel on large grids.
+    from lbm_tpu.ops import resident_pallas
 
-    backend = jax.default_backend()
-    if backend not in ("cpu",) and fused_pallas.supports(scene.params):
+    if resident_pallas.supports(scene.params) and config.frame_interval is None:
         return "pallas"
     return "jnp"
 
@@ -103,6 +104,14 @@ def _make_scan(program: modes.StepProgram, num_steps: int, frame_interval: int |
     step = program.step
 
     if frame_interval is None:
+        if program.make_run_all is not None:
+            run_all = program.make_run_all(num_steps)
+
+            def run(state):
+                state, tot_us = run_all(state)
+                return state, tot_us, None
+
+            return jax.jit(run, donate_argnums=(0,))
 
         def body(state, _):
             state, tot_u = step(state)

@@ -163,15 +163,23 @@ def stream_slab(slab: jax.Array) -> jax.Array:
 def fused_step_single(
     f: jax.Array, obstacles: jax.Array, params: LBMParams
 ) -> StepOutput:
-    """One full timestep on a single device (periodic full grid)."""
+    """One full timestep on a single device (periodic full grid).
+
+    Uses the shared VPU-economical math (ops/stencil_math.py) so this path is
+    bitwise-identical to the Pallas kernel.
+    """
+    from lbm_tpu.ops import stencil_math
+
     w1, w2 = lattice.accel_weights(params.density, params.accel)
     jj = params.accel_row
     fluid = ~obstacles
     row = apply_accel_row(f[:, jj, :], fluid[jj, :], w1, w2)
     f = f.at[:, jj, :].set(row)
     streamed = stream_periodic(f)
-    new_f = collide_streamed(streamed, obstacles, _f32(params.omega))
-    return StepOutput(new_f, av_velocity_sum(new_f, fluid))
+    out_planes, tot_u = stencil_math.collide_and_av(
+        [streamed[k] for k in range(lattice.NSPEEDS)], obstacles, _f32(params.omega)
+    )
+    return StepOutput(jnp.stack(out_planes), tot_u)
 
 
 def fused_step_slab(
@@ -194,6 +202,8 @@ def fused_step_slab(
     the reference's "last rank owns the accelerated row" layout
     (MPI/d2q9-bgk.c:674-695, 342-366).
     """
+    from lbm_tpu.ops import stencil_math
+
     w1, w2 = lattice.accel_weights(params.density, params.accel)
     n = slab.shape[1] - 2
     global_rows = row_offset - 1 + jnp.arange(n + 2)
@@ -204,8 +214,12 @@ def fused_step_slab(
     slab = apply_accel_row(slab, fluid_slab & accel_rows[:, None], w1, w2)
     streamed = stream_slab(slab)
     obstacles_own = obstacles_slab[1 : 1 + n]
-    new_f = collide_streamed(streamed, obstacles_own, _f32(params.omega))
-    return StepOutput(new_f, av_velocity_sum(new_f, ~obstacles_own))
+    out_planes, tot_u = stencil_math.collide_and_av(
+        [streamed[k] for k in range(lattice.NSPEEDS)],
+        obstacles_own,
+        _f32(params.omega),
+    )
+    return StepOutput(jnp.stack(out_planes), tot_u)
 
 
 def make_single_step(params: LBMParams, obstacles: np.ndarray):

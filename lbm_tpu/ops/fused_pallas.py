@@ -1,23 +1,273 @@
-"""Fused collide-stream Pallas TPU kernel (placeholder — jnp fallback).
+"""Fused collide-stream Pallas TPU kernel.
 
-The hand-tuned kernel lands in the next milestone; until then `supports`
-reports False so variant auto-selection uses the XLA-fused jnp step.
+The performance core of the framework: one kernel performs the driven-row
+injection, 9-direction pull streaming, bounce-back, BGK collision and the
+per-step |u| reduction in a single read+write sweep of the distribution
+planes — the hand-tuned counterpart of the reference's fused ``fusion_more``
+kernels (OpenMP/d2q9-bgk.c:260-498, MPI/d2q9-bgk.c:333-535), designed for the
+TPU memory hierarchy instead of cache lines:
+
+- the grid is processed in row blocks; each block's 9 planes arrive in VMEM
+  through the standard auto-pipelined BlockSpec path (double-buffered DMA
+  managed by the Pallas pipeline), with the two ghost rows of each block
+  pre-gathered into tiny ``(nb, 9, nx)`` side arrays (periodic wrap rows, or
+  externally supplied shard halos for the distributed path);
+- streaming is a static row shift against the ghosted block plus a lane
+  rotation in x — no gathers, no dynamic shapes;
+- collision is pure VPU arithmetic, ordered exactly like the jnp/NumPy
+  reference implementations so results match bitwise;
+- each block writes one (9, B, nx) output tile and accumulates its |u|
+  partial into an SMEM cell, so the whole step costs one HBM read + one HBM
+  write of f (plus the small mask/ghost streams) — the bandwidth optimum.
+
+The kernel doubles as the per-shard compute of the distributed modes: ghost
+rows and a dynamic global-row offset (for locating the driven row) arrive as
+arguments, mirroring how the reference's MPI kernels take halo rows and rank
+offsets (MPI/d2q9-bgk.c:333-366).
 """
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lbm_tpu.core import lattice
+from lbm_tpu.ops import stencil_math
 from lbm_tpu.params import LBMParams
+
+F32 = jnp.float32
+NS = lattice.NSPEEDS
+
+# Lane (x) dimension must be a multiple of the TPU lane width.
+LANE = 128
+# VMEM budget for one input block (bytes); block height is chosen under it.
+_SLAB_BUDGET = 4 * 1024 * 1024
 
 
 def supports(params: LBMParams) -> bool:
-    return False
+    """The kernel handles grids whose x-extent is lane-aligned."""
+    return params.nx % LANE == 0 and params.ny >= 8
 
 
-def make_step(params: LBMParams, obstacles: np.ndarray):
-    raise NotImplementedError("pallas backend not yet implemented; use variant=jnp")
+def pick_block_rows(n_rows: int, nx: int) -> int:
+    """Largest divisor of n_rows whose block fits the VMEM budget.
+
+    Blocks must stay sublane-aligned (multiple of 8) unless one block covers
+    the whole shard.
+    """
+    best = 1
+    for b in range(1, n_rows + 1):
+        if n_rows % b:
+            continue
+        if b % 8 and b != n_rows:
+            continue
+        if NS * (b + 2) * nx * 4 <= _SLAB_BUDGET:
+            best = b
+        else:
+            break
+    return best
 
 
-def make_slab_step(params: LBMParams, nloc: int, nx: int):
-    raise NotImplementedError("pallas backend not yet implemented; use backend=jnp")
+def _roll_x(x: jax.Array, shift: int) -> jax.Array:
+    """Periodic lane shift: out[..., i] = x[..., i - shift] (static shift)."""
+    if shift == 0:
+        return x
+    if shift == 1:
+        return jnp.concatenate([x[:, -1:], x[:, :-1]], axis=1)
+    if shift == -1:
+        return jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+    raise ValueError(shift)
+
+
+def _step_kernel(
+    row_off_ref,  # (1, 1) int32, SMEM: global row index of local row 0
+    f_ref,  # (9, B, nx) VMEM: this block's body rows (auto-pipelined)
+    glo_ref,  # (1, 9, nx) VMEM: ghost row below this block
+    ghi_ref,  # (1, 9, nx) VMEM: ghost row above this block
+    obst_ref,  # (1, B+2, nx) VMEM: ghosted obstacle rows (1.0 = blocked)
+    out_ref,  # (9, B, nx) VMEM
+    sum_ref,  # (1, 1) f32, SMEM: |u| accumulator across blocks
+    *,
+    block_rows: int,
+    omega: float,
+    accel_row: int,
+    w1a: float,
+    w2a: float,
+):
+    i = pl.program_id(0)
+    B = block_rows
+    start = pl.multiple_of(i * B, B)
+
+    fluid_slab = obst_ref[0] == F32(0.0)
+
+    # Driven-row mask over the ghosted rows (global index == accel_row).
+    global_rows = (
+        row_off_ref[0, 0]
+        + start
+        - 1
+        + jax.lax.broadcasted_iota(jnp.int32, (B + 2, 1), 0)
+    )
+    row_mask = global_rows == accel_row
+
+    glo = glo_ref[0]  # (9, nx)
+    ghi = ghi_ref[0]
+    planes = [
+        jnp.concatenate([glo[k : k + 1], f_ref[k], ghi[k : k + 1]], axis=0)
+        for k in range(NS)
+    ]
+    planes = stencil_math.accel_planes(planes, fluid_slab, row_mask, F32(w1a), F32(w2a))
+
+    # Pull streaming: y from the ghosted rows, x by lane rotation.
+    streamed = [
+        _roll_x(planes[k][1 - lattice.CY[k] : 1 - lattice.CY[k] + B, :], lattice.CX[k])
+        for k in range(NS)
+    ]
+
+    obst_own = jnp.logical_not(fluid_slab[1 : B + 1])
+    out_planes, partial = stencil_math.collide_and_av(streamed, obst_own, F32(omega))
+    for k in range(NS):
+        out_ref[k] = out_planes[k]
+
+    # Accumulate the per-block |u| partial into a single SMEM cell revisited
+    # by every grid step (grid steps run sequentially on a TPU core).
+
+    @pl.when(i == 0)
+    def _():
+        sum_ref[0, 0] = partial
+
+    @pl.when(i != 0)
+    def _():
+        sum_ref[0, 0] = sum_ref[0, 0] + partial
+
+
+def _block_obstacles(obst_ext: np.ndarray, block_rows: int) -> np.ndarray:
+    """Rearrange a ghost-extended (n+2, nx) mask into per-block ghosted rows
+    (nb, B+2, nx) float32 so each grid step streams one contiguous block."""
+    n = obst_ext.shape[0] - 2
+    nb = n // block_rows
+    blocks = [obst_ext[i * block_rows : i * block_rows + block_rows + 2] for i in range(nb)]
+    return np.stack(blocks).astype(np.float32)
+
+
+def _build_call(params: LBMParams, n_rows: int, nx: int, interpret: bool):
+    """Build the pallas_call for an (n_rows, nx) shard.
+
+    Returns ``call(f, ghost_lo, ghost_hi, obst_blocks, row_offset)`` where
+    ghosts are (9, 1, nx) rows adjacent to the shard.
+    """
+    B = pick_block_rows(n_rows, nx)
+    nb = n_rows // B
+    w1a, w2a = lattice.accel_weights(params.density, params.accel)
+
+    kernel = functools.partial(
+        _step_kernel,
+        block_rows=B,
+        omega=float(params.omega),
+        accel_row=params.accel_row,
+        w1a=float(w1a),
+        w2a=float(w2a),
+    )
+
+    grid_spec = pl.GridSpec(
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # row_offset (1,1)
+            pl.BlockSpec((NS, B, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NS, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, NS, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B + 2, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((NS, B, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+    )
+
+    flops_per_cell = 160
+    call = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((NS, n_rows, nx), jnp.float32),
+            jax.ShapeDtypeStruct((1, 1), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=flops_per_cell * n_rows * nx,
+            bytes_accessed=2 * NS * n_rows * nx * 4 + n_rows * nx * 4,
+            transcendentals=n_rows * nx,
+        ),
+    )
+
+    def step_slab(f, ghost_lo, ghost_hi, obst_blocks, row_offset):
+        """f (9, n_rows, nx); ghosts (9, 1, nx); obst_blocks (nb, B+2, nx)
+        f32; row_offset scalar int32 (global row of local row 0)."""
+        row_off = jnp.asarray(row_offset, dtype=jnp.int32).reshape(1, 1)
+        # Per-block ghost rows: block i's lower ghost is row i*B-1, its upper
+        # ghost is row (i+1)*B — shard-edge blocks take the external halos.
+        if nb > 1:
+            glo = jnp.concatenate([ghost_lo, f[:, B - 1 :: B, :][:, :-1, :]], axis=1)
+            ghi = jnp.concatenate([f[:, B::B, :], ghost_hi], axis=1)
+        else:
+            glo, ghi = ghost_lo, ghost_hi
+        glo = glo.transpose(1, 0, 2)  # (nb, 9, nx)
+        ghi = ghi.transpose(1, 0, 2)
+        new_f, tot = call(row_off, f, glo, ghi, obst_blocks)
+        return new_f, tot[0, 0]
+
+    return step_slab, B, nb
+
+
+def _use_interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def make_step(params: LBMParams, obstacles: np.ndarray, interpret: bool | None = None):
+    """Single-device step: ``f -> (f_new, tot_u)`` with periodic wrap ghosts."""
+    ny, nx = obstacles.shape
+    if not supports(params):
+        raise ValueError(
+            f"pallas kernel requires nx % {LANE} == 0 and ny >= 8, got {ny}x{nx}"
+        )
+    if interpret is None:
+        interpret = _use_interpret()
+    call, B, _ = _build_call(params, ny, nx, interpret)
+    obst_ext = np.concatenate([obstacles[-1:], obstacles, obstacles[:1]], axis=0)
+    obst_blocks = jnp.asarray(_block_obstacles(obst_ext, B))
+
+    def step(f):
+        return call(f, f[:, -1:, :], f[:, :1, :], obst_blocks, 0)
+
+    return step
+
+
+def make_slab_step(
+    params: LBMParams, nloc: int, nx: int, interpret: bool | None = None
+):
+    """Sharded per-shard step: ``(slab, obst_slab, row_offset) -> (f, tot_u)``.
+
+    Takes the same ghosted-slab interface as fused_jnp.fused_step_slab so the
+    distributed modes can swap backends.  The obstacle slab arrives as bool
+    (nloc+2, nx).
+    """
+    if interpret is None:
+        interpret = _use_interpret()
+    call, B, nb = _build_call(params, nloc, nx, interpret)
+
+    def step_slab(slab, obst_slab, row_offset):
+        f = slab[:, 1:-1, :]
+        ghost_lo = slab[:, :1, :]
+        ghost_hi = slab[:, -1:, :]
+        obst_f = obst_slab.astype(jnp.float32)
+        obst_blocks = jnp.stack(
+            [obst_f[i * B : i * B + B + 2] for i in range(nb)]
+        )
+        return call(f, ghost_lo, ghost_hi, obst_blocks, row_offset)
+
+    return step_slab

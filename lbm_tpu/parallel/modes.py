@@ -54,6 +54,10 @@ class StepProgram:
     tot_cells: int
     mesh: Any | None
     variant: str
+    # Optional whole-run fast path: (num_steps) -> (f0 -> (f, tot_us)).
+    # Used by the driver when per-step observation (frames) is not needed —
+    # the VMEM-resident Pallas kernel plugs in here.
+    make_run_all: Callable[[int], Callable] | None = None
 
 
 def _u_mag_fn(obstacles: jax.Array) -> Callable[[jax.Array], jax.Array]:
@@ -80,9 +84,19 @@ def build_single_program(
     obst = jnp.asarray(obstacles, dtype=bool)
     tot_cells = int(obstacles.size - np.count_nonzero(obstacles))
 
+    make_run_all = None
+    variant = backend
     if backend == "pallas":
-        from lbm_tpu.ops import fused_pallas
+        from lbm_tpu.ops import fused_pallas, resident_pallas
 
+        if resident_pallas.supports(params):
+            # Whole-run fast path: chunks of steps fully resident in VMEM.
+            def make_run_all(num_steps):
+                return resident_pallas.make_run_all(
+                    params, np.asarray(obstacles), num_steps
+                )
+
+            variant = "pallas-resident"
         kernel_step = fused_pallas.make_step(params, np.asarray(obstacles))
 
         def step(f):
@@ -101,7 +115,8 @@ def build_single_program(
         u_mag=mag,
         tot_cells=tot_cells,
         mesh=None,
-        variant=backend,
+        variant=variant,
+        make_run_all=make_run_all,
     )
 
 

@@ -1,0 +1,127 @@
+"""Pallas kernels (interpret mode on CPU) vs the jnp reference path."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lbm_tpu.core import lattice
+from lbm_tpu.io import load_scene
+from lbm_tpu.ops import fused_jnp, fused_pallas, resident_pallas
+from lbm_tpu.params import LBMParams
+from tests.conftest import requires_reference
+
+
+@pytest.fixture(scope="module")
+def scene128():
+    # A lane-aligned scene (the pallas kernels require nx % 128 == 0).
+    params = LBMParams(
+        nx=128, ny=32, max_iters=10, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    mask = np.zeros((params.ny, params.nx), dtype=bool)
+    mask[0, :] = mask[-1, :] = True
+    mask[:, 0] = mask[:, -1] = True
+    mask[10:12, 40:44] = True
+    return params, mask
+
+
+def _run_jnp(params, mask, steps):
+    step = fused_jnp.make_single_step(params, mask)
+    f = jnp.asarray(lattice.equilibrium_rest(params.density, params.ny, params.nx))
+    tots = []
+    for _ in range(steps):
+        f, tu = step(f)
+        tots.append(float(tu))
+    return np.asarray(f), np.asarray(tots, np.float32)
+
+
+def test_supports():
+    good = LBMParams(nx=256, ny=64, max_iters=1, reynolds_dim=10,
+                     density=0.1, accel=0.005, omega=1.85)
+    bad = LBMParams(nx=100, ny=64, max_iters=1, reynolds_dim=10,
+                    density=0.1, accel=0.005, omega=1.85)
+    assert fused_pallas.supports(good)
+    assert not fused_pallas.supports(bad)
+    assert resident_pallas.supports(good)
+    big = LBMParams(nx=1024, ny=1024, max_iters=1, reynolds_dim=10,
+                    density=0.1, accel=0.01, omega=1.85)
+    assert fused_pallas.supports(big)
+    assert not resident_pallas.supports(big)  # 75 MB state exceeds VMEM
+
+
+def test_block_kernel_matches_jnp(scene128):
+    params, mask = scene128
+    f_j, tot_j = _run_jnp(params, mask, 6)
+    step = jax.jit(fused_pallas.make_step(params, mask, interpret=True))
+    f = jnp.asarray(lattice.equilibrium_rest(params.density, params.ny, params.nx))
+    tots = []
+    for _ in range(6):
+        f, tu = step(f)
+        tots.append(float(tu))
+    np.testing.assert_array_equal(np.asarray(f), f_j)
+    np.testing.assert_allclose(np.asarray(tots, np.float32), tot_j, rtol=1e-6)
+
+
+def test_block_kernel_multiblock(scene128, monkeypatch):
+    """Force several row blocks so inter-block ghost rows are exercised."""
+    params, mask = scene128
+    monkeypatch.setattr(fused_pallas, "_SLAB_BUDGET", 64 * 1024)
+    assert fused_pallas.pick_block_rows(params.ny, params.nx) < params.ny
+    f_j, _ = _run_jnp(params, mask, 5)
+    step = jax.jit(fused_pallas.make_step(params, mask, interpret=True))
+    f = jnp.asarray(lattice.equilibrium_rest(params.density, params.ny, params.nx))
+    for _ in range(5):
+        f, _ = step(f)
+    # Interpret mode on CPU compiles each block shape separately, so XLA's
+    # FMA contraction may differ by 1 ulp from the full-grid jnp step (on
+    # real TPU the block kernel matches the jnp step bitwise).
+    np.testing.assert_allclose(np.asarray(f), f_j, atol=5e-8)
+
+
+@pytest.mark.parametrize("steps,chunk", [(7, 4), (8, 4), (5, 8), (6, 6)])
+def test_resident_kernel_matches_jnp(scene128, steps, chunk):
+    """Odd/even chunks and remainders all land in the right buffer."""
+    params, mask = scene128
+    f_j, tot_j = _run_jnp(params, mask, steps)
+    run = jax.jit(resident_pallas.make_run_all(params, mask, steps, chunk=chunk,
+                                               interpret=True))
+    f0 = jnp.asarray(lattice.equilibrium_rest(params.density, params.ny, params.nx))
+    f, tots = run(f0)
+    assert tots.shape == (steps,)
+    np.testing.assert_array_equal(np.asarray(f), f_j)
+    np.testing.assert_allclose(np.asarray(tots), tot_j, rtol=1e-6)
+
+
+def test_resident_through_driver(scene128):
+    from lbm_tpu.io.scene import Scene
+    from lbm_tpu.models import RunConfig, run_simulation
+
+    params, mask = scene128
+    scene = Scene(params=params.replace(max_iters=9), obstacles=mask)
+    res_j = run_simulation(scene, RunConfig(variant="jnp"))
+    res_p = run_simulation(scene, RunConfig(variant="pallas"))
+    assert res_p.variant == "pallas-resident"
+    np.testing.assert_array_equal(res_p.f, res_j.f)
+    np.testing.assert_allclose(res_p.av_vels, res_j.av_vels, rtol=1e-5)
+
+
+@requires_reference
+def test_pallas_golden_prefix():
+    sc = load_scene(
+        "/root/reference/dataSet/input_128x128.params",
+        "/root/reference/dataSet/obstacles_128x128.dat",
+    )
+    run = jax.jit(
+        resident_pallas.make_run_all(sc.params, sc.obstacles, 60, chunk=30,
+                                     interpret=True)
+    )
+    f0 = jnp.asarray(
+        lattice.equilibrium_rest(sc.params.density, sc.params.ny, sc.params.nx)
+    )
+    _, tots = run(f0)
+    av = np.asarray(tots) / np.float32(sc.num_fluid_cells)
+    gold = np.loadtxt("/root/reference/check/128x128.av_vels.dat", usecols=[1])[:60]
+    rel = 100 * np.abs((gold - av) / av)
+    assert rel.max() < 0.1
