@@ -36,6 +36,12 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--av-vels-file", default="av_vels.dat")
     p.add_argument("--no-output", action="store_true", help="skip writing result files")
     p.add_argument(
+        "--debug",
+        action="store_true",
+        help="print per-step av velocity and total density (the reference's "
+        "DEBUG build, SerialCode/d2q9-bgk.c:175-179)",
+    )
+    p.add_argument(
         "--platform",
         default=None,
         help="force a jax platform (e.g. cpu); with cpu, --host-devices N "
@@ -74,6 +80,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         staleness=args.staleness,
         num_steps=args.steps,
         frame_interval=args.frame_interval,
+        debug=args.debug,
     )
     import jax
 
@@ -147,6 +154,33 @@ def cmd_animate(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_golden(args: argparse.Namespace) -> int:
+    """Regenerate golden data for a scene (the mirror lacks the two largest
+    final_state goldens, .MISSING_LARGE_BLOBS; this recreates them)."""
+    from lbm_tpu.io import load_scene, write_av_vels, write_final_state
+    from lbm_tpu.models.driver import RunConfig, run_simulation
+
+    _apply_platform(args.platform, None)
+    scene = load_scene(args.paramfile, args.obstaclefile)
+    result = run_simulation(
+        scene, RunConfig(variant=args.variant, num_steps=args.steps)
+    )
+    os.makedirs(args.out_dir, exist_ok=True)
+    tag = f"{scene.params.nx}x{scene.params.ny}"
+    av_path = os.path.join(args.out_dir, f"{tag}.av_vels.dat")
+    fs_path = os.path.join(args.out_dir, f"{tag}.final_state.dat")
+    write_av_vels(av_path, result.av_vels)
+    write_final_state(fs_path, result.f, scene.obstacles, scene.params)
+    print(f"wrote {av_path} and {fs_path} (variant={result.variant})")
+    return 0
+
+
+def cmd_speedup(args: argparse.Namespace) -> int:
+    from lbm_tpu.tools.speedup import main as speedup_main
+
+    return speedup_main(args.reports + ["--output", args.output])
+
+
 def cmd_info(_args: argparse.Namespace) -> int:
     import jax
 
@@ -187,6 +221,18 @@ def main(argv: list[str] | None = None) -> int:
     p_anim.add_argument("--output", default="animation.gif")
     p_anim.add_argument("--fps", type=int, default=10)
 
+    p_gold = sub.add_parser("golden", help="regenerate golden data for a scene")
+    p_gold.add_argument("paramfile")
+    p_gold.add_argument("obstaclefile")
+    p_gold.add_argument("--out-dir", default="golden")
+    p_gold.add_argument("--variant", default="jnp")
+    p_gold.add_argument("--steps", type=int, default=None)
+    p_gold.add_argument("--platform", default=None)
+
+    p_speed = sub.add_parser("speedup", help="render a speedup plot from bench reports")
+    p_speed.add_argument("reports", nargs="+")
+    p_speed.add_argument("--output", default="speedup.png")
+
     sub.add_parser("info", help="print device/runtime info")
 
     # `check` forwards unparsed args to the checker for flag compatibility.
@@ -199,6 +245,8 @@ def main(argv: list[str] | None = None) -> int:
         "bench": cmd_bench,
         "viz": cmd_viz,
         "animate": cmd_animate,
+        "golden": cmd_golden,
+        "speedup": cmd_speedup,
         "info": cmd_info,
     }[args.command]
     try:

@@ -40,6 +40,8 @@ class RunConfig:
     frame_interval: int | None = None  # capture |u| every k steps (None = off)
     backend: str | None = None  # force "jnp"/"pallas" slab compute
     donate: bool = True  # donate the state buffer across scan steps
+    debug: bool = False  # capture per-step total density (DEBUG analog,
+    # SerialCode/d2q9-bgk.c:175-179); forces the per-step scan path
 
 
 @dataclasses.dataclass
@@ -99,12 +101,28 @@ def build_program(scene: Scene, config: RunConfig) -> modes.StepProgram:
     raise ValueError(f"variant {variant!r} has no program builder")
 
 
-def _make_scan(program: modes.StepProgram, num_steps: int, frame_interval: int | None):
+def _make_scan(
+    program: modes.StepProgram,
+    num_steps: int,
+    frame_interval: int | None,
+    debug: bool = False,
+):
     """Compile the whole timestep loop into one on-device scan."""
     step = program.step
 
+    if debug:
+        # Per-step observables: tot_u plus the total-density invariant.
+        base_step = step
+
+        def dbg_step(state):
+            state, tot_u = base_step(state)
+            dens = jnp.sum(program.f_of(state), dtype=jnp.float32)
+            return state, (tot_u, dens)
+
+        step = dbg_step
+
     if frame_interval is None:
-        if program.make_run_all is not None:
+        if program.make_run_all is not None and not debug:
             run_all = program.make_run_all(num_steps)
 
             def run(state):
@@ -178,7 +196,7 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
     program = build_program(scene, config)
     # Shape hint for the frames buffer (global grid extents).
     program.init_state_shape_hint = (params.ny, params.nx)  # type: ignore[attr-defined]
-    run = _make_scan(program, num_steps, config.frame_interval)
+    run = _make_scan(program, num_steps, config.frame_interval, config.debug)
     # Compile before timing the compute phase (compilation is init cost, as
     # the reference's timed Compute section starts after initialise).
     state0 = program.init_state
@@ -191,6 +209,10 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
     timer.stop("compute")
 
     timer.start("collate")
+    densities = None
+    if config.debug:
+        tot_us, densities = tot_us
+        densities = np.asarray(jax.device_get(densities), dtype=np.float32)
     f = np.asarray(jax.device_get(program.f_of(state)), dtype=np.float32)
     tot_us = np.asarray(jax.device_get(tot_us), dtype=np.float32)
     av_vels = tot_us / np.float32(program.tot_cells)
@@ -200,6 +222,14 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
         frames_np = np.asarray(jax.device_get(frames), dtype=np.float32)
         frame_steps = np.arange(frames_np.shape[0]) * config.frame_interval
     timer.stop("collate")
+
+    if config.debug and densities is not None:
+        # Reference DEBUG output, deferred out of the timed loop
+        # (SerialCode/d2q9-bgk.c:175-179).
+        for tt in range(num_steps):
+            print(f"==timestep: {tt}==")
+            print("av velocity: %.12E" % av_vels[tt])
+            print("tot density: %.12E" % densities[tt])
 
     reynolds = (
         params.reynolds_dim * float(av_vels[-1]) / params.viscosity if num_steps else 0.0

@@ -297,6 +297,21 @@ def build_sharded_program(
         init_state = f_init
         f_of = lambda s: s
     else:  # async
+        # Accuracy scales with the stale-row fraction (2 rows per shard
+        # interface).  Measured against the reference goldens: 1.6% stale
+        # rows -> ~0.15% av_vels deviation; ~6% -> ~1%.  Warn when the
+        # configuration leaves the reference's <1% contract (README.md:9-13).
+        stale_fraction = 2.0 * num_shards / ny
+        if stale_fraction > 0.05:
+            import warnings
+
+            warnings.warn(
+                f"async mode with {num_shards} shards over {ny} rows keeps "
+                f"{stale_fraction:.1%} of rows one step stale; deviation from "
+                "the synchronous solution may exceed 1%. Use fewer shards, "
+                "a larger grid, or the sync/overlap variants.",
+                stacklevel=2,
+            )
         init_ghosts = jax.jit(
             jax.shard_map(
                 exchange,

@@ -1,0 +1,17 @@
+#!/usr/bin/env bash
+# Runtime environment knobs (the analog of the reference's OpenMP/env.sh,
+# which pins thread count and core binding for the CPU build).
+#
+# Source this before running: `source scripts/env.sh`
+
+# Keep the repo importable without clobbering plugin site paths.
+export PYTHONPATH="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd):${PYTHONPATH}"
+
+# Preallocate most of HBM for the solver (default JAX behavior); flip to
+# false when sharing the chip.
+export XLA_PYTHON_CLIENT_PREALLOCATE=${XLA_PYTHON_CLIENT_PREALLOCATE:-true}
+
+# Async collectives: let the latency-hiding scheduler overlap ppermute halo
+# exchanges with interior compute (on by default in recent XLA; kept explicit
+# as documentation of the perf-critical knob).
+export XLA_FLAGS="${XLA_FLAGS:-} --xla_tpu_enable_async_collective_fusion=true"

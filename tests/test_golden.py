@@ -1,0 +1,100 @@
+"""Golden-data integration tests against the reference's check/ fixtures.
+
+The reference's only test modality is end-to-end golden comparison at 1%
+tolerance (check/check.py:136-151).  Fast prefix checks run always (the
+av_vels series is per-step, so the first N steps are comparable); full-run
+checks are marked slow.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from lbm_tpu.core import lattice
+from lbm_tpu.io import load_scene
+from lbm_tpu.models import RunConfig, run_simulation
+from lbm_tpu.tools.check import compare_series
+from tests.conftest import requires_reference
+
+REF = "/root/reference"
+PREFIX_STEPS = 120
+
+
+def _scene(grid):
+    return load_scene(
+        f"{REF}/dataSet/input_{grid}.params", f"{REF}/dataSet/obstacles_{grid}.dat"
+    )
+
+
+def _golden_av(grid, n=None):
+    gold = np.loadtxt(f"{REF}/check/{grid}.av_vels.dat", usecols=[1])
+    return gold[:n] if n else gold
+
+
+@requires_reference
+@pytest.mark.parametrize("variant", ["jnp", "serial"])
+def test_single_device_prefix_parity(variant):
+    scene = _scene("128x128")
+    res = run_simulation(
+        scene, RunConfig(variant=variant, num_steps=PREFIX_STEPS)
+    )
+    gold = _golden_av("128x128", PREFIX_STEPS)
+    diff = compare_series(gold, res.av_vels)
+    assert abs(diff.max_diff_pcnt) < 0.1, diff
+
+
+@requires_reference
+def test_sharded_async_prefix_parity():
+    """The stale-halo mode must stay inside the reference's 1% accuracy
+    contract (README.md:9-13) at a realistic shard-to-grid ratio (2 shards
+    over 128 rows = 3.1% stale rows; measured full-curve max 0.53%)."""
+    scene = _scene("128x128")
+    res = run_simulation(
+        scene,
+        RunConfig(variant="async", num_devices=2, num_steps=PREFIX_STEPS),
+    )
+    gold = _golden_av("128x128", PREFIX_STEPS)
+    diff = compare_series(gold, res.av_vels)
+    assert abs(diff.max_diff_pcnt) < 1.0, diff
+
+
+@requires_reference
+def test_async_overshard_warns():
+    """Over-sharded async configs (many stale rows) warn about accuracy."""
+    scene = _scene("128x128")
+    with pytest.warns(UserWarning, match="stale"):
+        run_simulation(
+            scene, RunConfig(variant="async", num_devices=8, num_steps=4)
+        )
+
+
+@requires_reference
+def test_resident_pallas_prefix_parity():
+    scene = _scene("128x128")
+    from lbm_tpu.ops import resident_pallas
+
+    run = jax.jit(
+        resident_pallas.make_run_all(
+            scene.params, scene.obstacles, PREFIX_STEPS, chunk=40, interpret=True
+        )
+    )
+    f0 = jnp.asarray(
+        lattice.equilibrium_rest(scene.params.density, scene.params.ny, scene.params.nx)
+    )
+    _, tots = run(f0)
+    av = np.asarray(tots) / np.float32(scene.num_fluid_cells)
+    diff = compare_series(_golden_av("128x128", PREFIX_STEPS), av)
+    assert abs(diff.max_diff_pcnt) < 0.1, diff
+
+
+@requires_reference
+@pytest.mark.slow
+@pytest.mark.parametrize("grid", ["128x128", "128x256", "256x256"])
+def test_full_run_av_vels_parity(grid):
+    """Full-length golden comparison (slow; run with -m slow or on TPU)."""
+    scene = _scene(grid)
+    res = run_simulation(scene, RunConfig(variant="auto"))
+    diff = compare_series(_golden_av(grid), res.av_vels)
+    assert abs(diff.max_diff_pcnt) < 1.0, diff

@@ -1,0 +1,95 @@
+"""Tools: bench report, speedup plot, visualization, animation roundtrip."""
+
+import json
+
+import numpy as np
+import pytest
+
+from lbm_tpu.cli import main
+from lbm_tpu.tools import animation, bench, speedup, visualize
+
+
+def test_bench_report_schema(tmp_path, monkeypatch):
+    report = bench.run_bench(grid="128x128", variant="jnp", steps=5, repeats=1)
+    assert set(report) >= {"metric", "value", "unit", "vs_baseline"}
+    assert report["unit"] == "MLUPS"
+    assert report["value"] > 0
+    assert report["vs_baseline"] == pytest.approx(report["value"] / 1587.0, abs=5e-4)
+
+
+def test_bench_synthesized_scene():
+    scene = bench.load_or_make_scene("64x64")
+    assert scene.params.nx == 64 and scene.params.ny == 64
+    # Closed box geometry like the reference scenes.
+    assert scene.obstacles[0].all() and scene.obstacles[:, 0].all()
+
+
+def test_speedup_plot(tmp_path):
+    reports = [
+        {"grid": "128x128", "value": 12000.0},
+        {"grid": "1024x1024", "value": 5465.0},
+    ]
+    rp = tmp_path / "r.jsonl"
+    rp.write_text("".join(json.dumps(r) + "\n" for r in reports))
+    out = tmp_path / "s.png"
+    assert speedup.main([str(rp), "--output", str(out)]) == 0
+    assert out.stat().st_size > 1000
+
+
+def test_frame_roundtrip(tmp_path, small_params):
+    frames = np.random.default_rng(0).random((2, small_params.ny, small_params.nx)).astype(np.float32)
+    paths = animation.write_frame_files(
+        str(tmp_path), frames, np.array([0, 100]), small_params
+    )
+    assert len(paths) == 2
+    grid, meta = animation.read_frame_file(paths[1])
+    assert meta["timestep"] == 100
+    np.testing.assert_allclose(grid, frames[1], rtol=1e-5)
+
+
+def test_animate_and_viz(tmp_path, small_params, small_obstacles):
+    # frames -> gif
+    frames = np.random.default_rng(1).random((3, 16, 16)).astype(np.float32)
+    animation.write_frame_files(str(tmp_path / "ad"), frames, np.arange(3) * 10, small_params)
+    gif = animation.animate_directory(str(tmp_path / "ad"), str(tmp_path / "a.gif"), fps=5)
+    assert (tmp_path / "a.gif").stat().st_size > 100
+
+    # final_state -> 4-panel png through the CLI
+    from lbm_tpu.core import lattice
+    from lbm_tpu.io import writers
+
+    f = lattice.equilibrium_rest(small_params.density, small_params.ny, small_params.nx)
+    fs = tmp_path / "final_state.dat"
+    writers.write_final_state(fs, f, small_obstacles, small_params)
+    assert main(["viz", str(fs), "--output", str(tmp_path / "fs.png")]) == 0
+    assert (tmp_path / "fs.png").stat().st_size > 1000
+
+
+def test_golden_subcommand(tmp_path, small_params, small_obstacles):
+    p = tmp_path / "input.params"
+    p.write_text("16\n16\n8\n10\n0.1\n0.005\n1.85\n")
+    o = tmp_path / "obstacles.dat"
+    ys, xs = np.nonzero(small_obstacles)
+    o.write_text("".join(f"{x} {y} 1\n" for x, y in zip(xs, ys)))
+    rc = main(["golden", str(p), str(o), "--out-dir", str(tmp_path / "g")])
+    assert rc == 0
+    assert (tmp_path / "g" / "16x16.av_vels.dat").exists()
+    assert (tmp_path / "g" / "16x16.final_state.dat").exists()
+
+
+def test_debug_flag(tmp_path, small_params, small_obstacles, capsys):
+    p = tmp_path / "input.params"
+    p.write_text("16\n16\n3\n10\n0.1\n0.005\n1.85\n")
+    o = tmp_path / "obstacles.dat"
+    ys, xs = np.nonzero(small_obstacles)
+    o.write_text("".join(f"{x} {y} 1\n" for x, y in zip(xs, ys)))
+    rc = main(["run", str(p), str(o), "--variant", "jnp", "--debug",
+               "--out-dir", str(tmp_path), "--no-output"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "==timestep: 0==" in out
+    assert "av velocity:" in out and "tot density:" in out
+    # Density invariant: all three reported densities equal the initial mass.
+    dens = [float(l.split(":")[1]) for l in out.splitlines() if l.startswith("tot density")]
+    expected = 0.1 * 16 * 16
+    np.testing.assert_allclose(dens, expected, rtol=1e-5)
