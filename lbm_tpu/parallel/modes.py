@@ -187,15 +187,21 @@ def build_sharded_program(
     if backend == "pallas":
         from lbm_tpu.ops import fused_pallas
 
-        slab_step = fused_pallas.make_slab_step(params, nloc, nx)
-    else:
-        slab_step = None
+        # The overlap discipline computes interior and boundary sub-slabs of
+        # different heights; build (and cache) one kernel per slab height.
+        _slab_steps: dict[int, Any] = {}
 
-    def local_slab_step(slab, obst_slab, row_offset):
-        """(9, nloc+2, nx) ghosted slab -> ((9, nloc, nx), tot_u)."""
-        if slab_step is not None:
-            return slab_step(slab, obst_slab, row_offset)
-        return fused_jnp.fused_step_slab(slab, obst_slab, params, row_offset)
+        def local_slab_step(slab, obst_slab, row_offset):
+            n = slab.shape[1] - 2
+            if n not in _slab_steps:
+                _slab_steps[n] = fused_pallas.make_slab_step(params, n, nx)
+            return _slab_steps[n](slab, obst_slab, row_offset)
+
+    else:
+
+        def local_slab_step(slab, obst_slab, row_offset):
+            """(9, n+2, nx) ghosted slab -> ((9, n, nx), tot_u)."""
+            return fused_jnp.fused_step_slab(slab, obst_slab, params, row_offset)
 
     def exchange(f_local):
         """Ring halo exchange: returns (ghost row below, ghost row above) —

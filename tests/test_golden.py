@@ -98,3 +98,40 @@ def test_full_run_av_vels_parity(grid):
     res = run_simulation(scene, RunConfig(variant="auto"))
     diff = compare_series(_golden_av(grid), res.av_vels)
     assert abs(diff.max_diff_pcnt) < 1.0, diff
+
+
+def test_regenerated_golden_loads():
+    """The committed 256x256 regression goldens load through the standard
+    readers (gzip transparently handled)."""
+    import pathlib
+
+    from lbm_tpu.io.writers import read_av_vels, read_final_state
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "golden"
+    av = read_av_vels(root / "256x256.av_vels.dat.gz")
+    assert av.shape == (80000,)
+    fs = read_final_state(root / "256x256.final_state.dat.gz")
+    assert fs.shape == (256 * 256, 3)
+
+
+@requires_reference
+@pytest.mark.slow
+def test_full_256_run_matches_regenerated_final_state():
+    """Full 256x256 run vs the committed final_state regression golden."""
+    import pathlib
+
+    from lbm_tpu.io.writers import read_final_state
+    from lbm_tpu.io import write_final_state
+
+    scene = _scene("256x256")
+    res = run_simulation(scene, RunConfig(variant="auto"))
+    import tempfile, os
+
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "fs.dat")
+        write_final_state(path, res.f, scene.obstacles, scene.params)
+        fs = read_final_state(path)
+    root = pathlib.Path(__file__).resolve().parents[1] / "golden"
+    gold = read_final_state(root / "256x256.final_state.dat.gz")
+    diff = compare_series(gold[:, 2], fs[:, 2])
+    assert abs(diff.max_diff_pcnt) < 1.0, diff

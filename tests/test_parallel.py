@@ -115,3 +115,27 @@ def test_mesh_size_2(small_params, small_obstacles, single_result):
     prog = modes.build_sharded_program(small_params, small_obstacles, mesh2, mode="sync")
     f, _ = _run(prog)
     np.testing.assert_array_equal(f, single_result[0])
+
+
+@pytest.mark.parametrize("mode", ["sync", "overlap", "async"])
+def test_pallas_backend_all_modes(small_params, small_obstacles, mode):
+    """The Pallas slab kernel slots into every sharded discipline (the
+    overlap mode uses differently-sized interior/boundary sub-slabs)."""
+    # 16-wide grid is below the kernel's lane width; use a lane-aligned scene.
+    import numpy as np
+    from lbm_tpu.params import LBMParams
+
+    params = LBMParams(nx=128, ny=32, max_iters=5, reynolds_dim=10,
+                       density=0.1, accel=0.005, omega=1.85)
+    mask = np.zeros((32, 128), dtype=bool)
+    mask[0, :] = mask[-1, :] = True
+    mask[:, 0] = mask[:, -1] = True
+
+    mesh2 = mesh_lib.make_row_mesh(2)
+    ref = modes.build_sharded_program(params, mask, mesh2, mode=mode, backend="jnp")
+    pal = modes.build_sharded_program(params, mask, mesh2, mode=mode, backend="pallas")
+    f_ref, _ = _run(ref, steps=5)
+    f_pal, _ = _run(pal, steps=5)
+    # 1-ulp tolerance: CPU interpret mode compiles block shapes separately
+    # (FMA contraction differences); on TPU the backends match bitwise.
+    np.testing.assert_allclose(f_pal, f_ref, atol=5e-8)
