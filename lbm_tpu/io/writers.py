@@ -87,6 +87,37 @@ def write_av_vels(path: str | os.PathLike, av_vels: np.ndarray) -> None:
         )
 
 
+def write_velocity_data(
+    path: str | os.PathLike,
+    f: np.ndarray,
+    obstacles: np.ndarray,
+    timestep: int,
+    append: bool = True,
+) -> None:
+    """Per-fluid-cell velocity dump: lines ``timestep ii jj u_x u_y``
+    (the reference's write_velocity_data debug helper,
+    SerialCode/d2q9-bgk.c:760-800)."""
+    u_x, u_y, _, _ = _uxy(f)
+    ny, nx = obstacles.shape
+    fluid = ~np.asarray(obstacles, dtype=bool)
+    with open(path, "a" if append else "w") as fp:
+        for jj in range(ny):
+            row = fluid[jj]
+            fp.writelines(
+                "%d %d %d %.12E %.12E\n" % (timestep, ii, jj, u_x[jj, ii], u_y[jj, ii])
+                for ii in range(nx)
+                if row[ii]
+            )
+
+
+def _uxy(f: np.ndarray) -> tuple[np.ndarray, np.ndarray, None, None]:
+    f = np.asarray(f, dtype=np.float32)
+    rho = oracle.local_density(f)
+    u_x = ((f[1] + f[5] + f[8]) - (f[3] + f[6] + f[7])) / rho
+    u_y = ((f[2] + f[5] + f[6]) - (f[4] + f[7] + f[8])) / rho
+    return u_x, u_y, None, None
+
+
 def read_av_vels(path: str | os.PathLike) -> np.ndarray:
     """Load the value column of an av_vels.dat file (check/check.py:57-60)."""
     return np.loadtxt(path, usecols=[1], dtype=np.float64, ndmin=1)

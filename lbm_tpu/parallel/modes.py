@@ -156,11 +156,35 @@ def build_sharded_program(
     """
     ny, nx = obstacles.shape
     num_shards = mesh.shape[ROWS]
-    if ny % num_shards != 0:
-        raise ValueError(
-            f"ny={ny} must be divisible by the mesh size {num_shards}; "
-            "pad the scene or choose a different device count"
+    ny_orig = ny
+    pad_rows = (-ny) % num_shards
+    if pad_rows:
+        # The reference spreads remainder rows across ranks
+        # (MPI/d2q9-bgk.c:674-695); shard_map needs equal shards, so instead
+        # we insert blocked padding rows at the periodic seam.  This is
+        # *exact* when the seam rows are walls (an obstacle row's emissions
+        # toward a side are mirrors of the flux arriving from that side, so
+        # wall-to-wall exchanges never reach fluid) — which holds for the
+        # reference's closed-box scenes.
+        if not (obstacles[0].all() and obstacles[-1].all()):
+            raise ValueError(
+                f"ny={ny} is not divisible by the mesh size {num_shards} and "
+                "the periodic seam rows are not fully blocked, so blocked-row "
+                "padding would change the physics; choose a divisible device "
+                "count"
+            )
+        obstacles = np.concatenate(
+            [obstacles, np.ones((pad_rows, nx), dtype=bool)], axis=0
         )
+        if f0 is not None:
+            f0 = np.concatenate(
+                [
+                    np.asarray(f0, dtype=np.float32),
+                    lattice.equilibrium_rest(params.density, pad_rows, nx),
+                ],
+                axis=1,
+            )
+        ny += pad_rows
     nloc = ny // num_shards
     if nloc < 2:
         raise ValueError(f"need at least 2 rows per shard, got {nloc}")
@@ -170,7 +194,7 @@ def build_sharded_program(
         raise ValueError("staleness must be >= 1")
 
     if f0 is None:
-        f0 = lattice.equilibrium_rest(params.density, params.ny, params.nx)
+        f0 = lattice.equilibrium_rest(params.density, ny, nx)
     tot_cells = int(obstacles.size - np.count_nonzero(obstacles))
     fwd, bwd = mesh_lib.ring_perms(num_shards)
 
@@ -342,9 +366,20 @@ def build_sharded_program(
         f_of = lambda s: s[0]
 
     mag_local = _u_mag_fn(obst_global)
+    f_of_padded = f_of
 
-    def u_mag(state):
-        return mag_local(f_of(state))
+    if pad_rows:
+        # External views (final state, frames) drop the seam padding rows.
+        def f_of(state):  # noqa: F811 — deliberately shadows the padded view
+            return f_of_padded(state)[:, :ny_orig, :]
+
+        def u_mag(state):
+            return mag_local(f_of_padded(state))[:ny_orig, :]
+
+    else:
+
+        def u_mag(state):
+            return mag_local(f_of_padded(state))
 
     return StepProgram(
         init_state=init_state,

@@ -128,3 +128,17 @@ def test_reference_scene_loads():
     assert sc.obstacles[0].all() and sc.obstacles[-1].all()
     assert sc.obstacles[:, 0].all() and sc.obstacles[:, -1].all()
     assert sc.num_fluid_cells == 15876
+
+
+def test_write_velocity_data(tmp_path, small_params, small_obstacles):
+    """Per-fluid-cell velocity dump format (SerialCode/d2q9-bgk.c:760-800)."""
+    f = lattice.equilibrium_rest(small_params.density, small_params.ny, small_params.nx)
+    path = tmp_path / "velocity_per_timestep.dat"
+    writers.write_velocity_data(path, f, small_obstacles, timestep=0, append=False)
+    writers.write_velocity_data(path, f, small_obstacles, timestep=1)
+    lines = path.read_text().splitlines()
+    n_fluid = small_obstacles.size - int(small_obstacles.sum())
+    assert len(lines) == 2 * n_fluid
+    first = lines[0].split()
+    assert first[0] == "0" and len(first) == 5
+    assert lines[n_fluid].split()[0] == "1"

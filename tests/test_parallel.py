@@ -102,11 +102,28 @@ def test_determinism_across_runs(small_params, small_obstacles, mesh8):
     np.testing.assert_array_equal(runs[0], runs[1])
 
 
-def test_rejects_indivisible_grid(small_params, small_obstacles):
+def test_indivisible_grid_padded_exactly(small_params, small_obstacles, single_result):
+    """16 rows over 3 shards: blocked seam-row padding keeps the physics
+    exact (the analog of the reference's remainder-row spreading,
+    MPI/d2q9-bgk.c:674-695)."""
     mesh3 = mesh_lib.make_row_mesh(3)
-    with pytest.raises(ValueError, match="divisible"):
+    prog = modes.build_sharded_program(
+        small_params, small_obstacles, mesh3, mode="sync"
+    )
+    f, tots = _run(prog)
+    assert f.shape == (9, small_params.ny, small_params.nx)  # padding stripped
+    np.testing.assert_array_equal(f, single_result[0])
+    np.testing.assert_allclose(tots, single_result[1], rtol=1e-6)
+
+
+def test_rejects_indivisible_grid_with_open_seam(small_params):
+    """Without walls at the periodic seam, padding would change the physics
+    and must be refused."""
+    open_mask = np.zeros((small_params.ny, small_params.nx), dtype=bool)
+    mesh3 = mesh_lib.make_row_mesh(3)
+    with pytest.raises(ValueError, match="not divisible"):
         modes.build_sharded_program(
-            small_params, small_obstacles, mesh3, mode="sync"
+            small_params, open_mask, mesh3, mode="sync"
         )
 
 
