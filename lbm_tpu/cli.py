@@ -25,7 +25,7 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
         "--variant",
         default="auto",
         help="solver variant: serial | jnp | pallas | sync | overlap | async | "
-        "async-k (aliases: openmp, mpi, waitall, testall); default auto",
+        "async-k | chunked (aliases: openmp, mpi, waitall, testall); default auto",
     )
     p.add_argument("--devices", type=int, default=None, help="mesh size for sharded variants")
     p.add_argument("--staleness", type=int, default=1, help="halo age for async variants")

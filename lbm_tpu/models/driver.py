@@ -84,12 +84,14 @@ def build_program(scene: Scene, config: RunConfig) -> modes.StepProgram:
         return modes.build_single_program(
             params, obst, backend=config.backend or variant
         )
-    if variant in ("sync", "overlap", "async", "async-k"):
+    if variant in ("sync", "overlap", "async", "async-k", "chunked"):
         mesh = mesh_lib.make_row_mesh(config.num_devices)
-        mode = "async" if variant == "async-k" else variant
-        staleness = config.staleness if variant.startswith("async") else 1
+        mode = {"async-k": "async"}.get(variant, variant)
+        staleness = config.staleness if variant in ("async", "async-k", "chunked") else 1
         if variant == "async-k" and config.staleness == 1:
             staleness = 2  # the explicit-queue variant defaults to deeper pipelining
+        if variant == "chunked" and config.staleness == 1:
+            staleness = 2  # a 1-step chunk is plain sync; default to 2
         return modes.build_sharded_program(
             params,
             obst,
@@ -121,6 +123,19 @@ def _make_scan(
 
         step = dbg_step
 
+    spc = program.steps_per_call
+    if spc > 1:
+        if frame_interval is not None or debug:
+            raise ValueError(
+                "frame capture / debug tracing are not supported with "
+                "multi-step (chunked) programs; use --variant async instead"
+            )
+        if num_steps % spc:
+            raise ValueError(
+                f"chunked mode advances {spc} steps per exchange; the step "
+                f"count {num_steps} must be a multiple of it"
+            )
+
     if frame_interval is None:
         if program.make_run_all is not None and not debug:
             run_all = program.make_run_all(num_steps)
@@ -136,7 +151,10 @@ def _make_scan(
             return state, tot_u
 
         def run(state):
-            state, tot_us = lax.scan(body, state, None, length=num_steps)
+            state, tot_us = lax.scan(body, state, None, length=num_steps // spc)
+            # Chunked programs emit (outer, spc); flatten to per-step order.
+            if spc > 1:
+                tot_us = jax.tree.map(lambda t: t.reshape(-1, *t.shape[2:]), tot_us)
             return state, tot_us, None
 
     else:

@@ -73,6 +73,13 @@ VARIANTS: dict[str, VariantSpec] = {
         True,
         "Row-sharded; explicit halo queue with configurable staleness k.",
     ),
+    "chunked": VariantSpec(
+        "chunked",
+        "beyond the reference (stale-halo idea taken to chunked execution)",
+        True,
+        "Row-sharded; halos exchanged every k steps, k local steps between "
+        "exchanges (ghost age 1..k) — collective latency amortized k-fold.",
+    ),
 }
 
 _ALIASES = {

@@ -58,6 +58,9 @@ class StepProgram:
     # Used by the driver when per-step observation (frames) is not needed —
     # the VMEM-resident Pallas kernel plugs in here.
     make_run_all: Callable[[int], Callable] | None = None
+    # Timesteps advanced per step() call; >1 for the chunked-async mode
+    # (step then returns a (steps_per_call,) tot_u vector).
+    steps_per_call: int = 1
 
 
 def _u_mag_fn(obstacles: jax.Array) -> Callable[[jax.Array], jax.Array]:
@@ -147,11 +150,15 @@ def build_sharded_program(
     """Row-sharded step program over ``mesh`` in one of the three disciplines.
 
     Args:
-      mode: "sync", "overlap", or "async" ("async" with staleness > 1 is the
-        explicit halo-queue variant, the deterministic analog of the
-        reference's old-halo bookkeeping, MPI_Testall_ComplexVersion/
-        d2q9-bgk.c:271-346).
-      staleness: halo age in steps for async mode (k >= 1).
+      mode: "sync", "overlap", "async", or "chunked".  "async" with
+        staleness > 1 is the explicit halo-queue variant, the deterministic
+        analog of the reference's old-halo bookkeeping
+        (MPI_Testall_ComplexVersion/d2q9-bgk.c:271-346).  "chunked" goes
+        beyond the reference: halos are exchanged every ``staleness`` steps
+        and each shard advances that many steps between exchanges (ghost age
+        grows 1..k within a chunk), amortizing collective latency k-fold.
+      staleness: halo age in steps for async mode (k >= 1); chunk length for
+        chunked mode.
       backend: "jnp" or "pallas" for the per-shard slab compute.
     """
     ny, nx = obstacles.shape
@@ -188,7 +195,7 @@ def build_sharded_program(
     nloc = ny // num_shards
     if nloc < 2:
         raise ValueError(f"need at least 2 rows per shard, got {nloc}")
-    if mode not in ("sync", "overlap", "async"):
+    if mode not in ("sync", "overlap", "async", "chunked"):
         raise ValueError(f"unknown sharded mode {mode!r}")
     if staleness < 1:
         raise ValueError("staleness must be >= 1")
@@ -289,6 +296,21 @@ def build_sharded_program(
         new_f, tot_u = local_slab_step(slab, obst_slab, shard_row_offset())
         return (new_f, q_lo, q_hi), tot_u
 
+    def step_chunked(carry, obst_slab):
+        # Beyond the reference: advance `staleness` steps per halo exchange,
+        # with ghost rows frozen for the chunk (age 1..k).  One ppermute pair
+        # per k steps — collective latency amortized k-fold, and the inner
+        # steps are a pure local loop (VMEM-friendly).
+        f_local, ghost_lo, ghost_hi = carry
+        off = shard_row_offset()
+        tots = []
+        for _ in range(staleness):
+            slab = jnp.concatenate([ghost_lo, f_local, ghost_hi], axis=1)
+            f_local, tot_u = local_slab_step(slab, obst_slab, off)
+            tots.append(tot_u)
+        new_ghosts = exchange(f_local)
+        return (f_local, *new_ghosts), jnp.stack(tots)
+
     # --- wrap in shard_map over global arrays -------------------------------
 
     f_spec = P(None, ROWS, None)
@@ -326,20 +348,24 @@ def build_sharded_program(
         step = spmd(step_overlap, f_spec)
         init_state = f_init
         f_of = lambda s: s
-    else:  # async
+    else:  # async / chunked
         # Accuracy scales with the stale-row fraction (2 rows per shard
-        # interface).  Measured against the reference goldens: 1.6% stale
-        # rows -> ~0.15% av_vels deviation; ~6% -> ~1%.  Warn when the
-        # configuration leaves the reference's <1% contract (README.md:9-13).
-        stale_fraction = 2.0 * num_shards / ny
+        # interface) and with the halo age.  Measured against the reference
+        # goldens: 1.6% stale rows -> ~0.15% av_vels deviation; ~6% -> ~1%.
+        # Warn when the configuration leaves the reference's <1% contract
+        # (README.md:9-13).
+        # Chunked ghosts age 1..k (mean (k+1)/2); async-k ghosts are k old.
+        age = (staleness + 1) / 2 if mode == "chunked" else staleness
+        stale_fraction = 2.0 * num_shards / ny * age
         if stale_fraction > 0.05:
             import warnings
 
             warnings.warn(
-                f"async mode with {num_shards} shards over {ny} rows keeps "
-                f"{stale_fraction:.1%} of rows one step stale; deviation from "
-                "the synchronous solution may exceed 1%. Use fewer shards, "
-                "a larger grid, or the sync/overlap variants.",
+                f"{mode} mode with {num_shards} shards over {ny} rows at halo "
+                f"age {staleness} has an effective stale-row exposure of "
+                f"{stale_fraction:.1%}; deviation from the synchronous "
+                "solution may exceed 1%. Use fewer shards, a larger grid, a "
+                "smaller staleness, or the sync/overlap variants.",
                 stacklevel=2,
             )
         init_ghosts = jax.jit(
@@ -352,7 +378,10 @@ def build_sharded_program(
             )
         )
         g_lo0, g_hi0 = init_ghosts(f_init)
-        if staleness == 1:
+        if mode == "chunked":
+            step = spmd(step_chunked, (f_spec, f_spec, f_spec))
+            init_state = (f_init, g_lo0, g_hi0)
+        elif staleness == 1:
             step = spmd(step_async, (f_spec, f_spec, f_spec))
             init_state = (f_init, g_lo0, g_hi0)
         else:
@@ -388,5 +417,7 @@ def build_sharded_program(
         u_mag=u_mag,
         tot_cells=tot_cells,
         mesh=mesh,
-        variant=f"{mode}" + (f"-{staleness}" if mode == "async" and staleness > 1 else ""),
+        variant=f"{mode}"
+        + (f"-{staleness}" if mode in ("async", "chunked") and staleness > 1 else ""),
+        steps_per_call=staleness if mode == "chunked" else 1,
     )

@@ -156,3 +156,51 @@ def test_pallas_backend_all_modes(small_params, small_obstacles, mode):
     # 1-ulp tolerance: CPU interpret mode compiles block shapes separately
     # (FMA contraction differences); on TPU the backends match bitwise.
     np.testing.assert_allclose(f_pal, f_ref, atol=5e-8)
+
+
+@pytest.mark.parametrize("chunk", [2, 3])
+def test_chunked_mode(small_params, small_obstacles, single_result, chunk):
+    """Chunked-async: k steps per halo exchange; per-step av series intact,
+    bounded deviation, exact at chunk boundaries when flow hasn't reached
+    the seam."""
+    mesh2 = mesh_lib.make_row_mesh(2)
+    prog = modes.build_sharded_program(
+        small_params, small_obstacles, mesh2, mode="chunked", staleness=chunk
+    )
+    assert prog.steps_per_call == chunk
+    step = jax.jit(prog.step)
+    st = prog.init_state
+    tots = []
+    outer = STEPS // chunk
+    for _ in range(outer):
+        st, tu = step(st)
+        assert tu.shape == (chunk,)
+        tots.extend(np.asarray(tu))
+    f = np.asarray(prog.f_of(st))
+    f_ref = single_result[0]
+    # Same step count as the single-device reference prefix.
+    n = outer * chunk
+    rel = np.abs(f - f_ref).max() / np.abs(f_ref).max() if n == STEPS else None
+    if rel is not None:
+        assert rel < 3e-2 * chunk
+    # per-step av within tolerance of the reference series prefix
+    np.testing.assert_allclose(
+        np.asarray(tots, np.float32), single_result[1][:n], rtol=5e-2
+    )
+
+
+def test_chunked_through_driver(small_params, small_obstacles):
+    from lbm_tpu.io.scene import Scene
+    from lbm_tpu.models import RunConfig, run_simulation
+
+    scene = Scene(params=small_params.replace(max_iters=24), obstacles=small_obstacles)
+    res = run_simulation(scene, RunConfig(variant="chunked", num_devices=2, staleness=4))
+    assert res.variant == "chunked-4"
+    assert len(res.av_vels) == 24
+    ref = run_simulation(scene, RunConfig(variant="jnp"))
+    rel = np.abs(res.f - ref.f).max() / np.abs(ref.f).max()
+    assert rel < 0.05
+    # Indivisible step count is rejected with a clear message.
+    scene2 = Scene(params=small_params.replace(max_iters=25), obstacles=small_obstacles)
+    with pytest.raises(ValueError, match="multiple"):
+        run_simulation(scene2, RunConfig(variant="chunked", num_devices=2, staleness=4))
