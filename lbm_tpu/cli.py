@@ -35,6 +35,12 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--final-state-file", default="final_state.dat")
     p.add_argument("--av-vels-file", default="av_vels.dat")
     p.add_argument("--no-output", action="store_true", help="skip writing result files")
+    p.add_argument("--checkpoint-every", type=int, default=None,
+                   help="save a resumable state checkpoint every N steps")
+    p.add_argument("--checkpoint-dir", default="checkpoints")
+    p.add_argument("--resume", default=None, help="checkpoint .npz to resume from")
+    p.add_argument("--profile", default=None, metavar="DIR",
+                   help="capture a jax profiler trace of the compute phase")
     p.add_argument(
         "--debug",
         action="store_true",
@@ -81,6 +87,10 @@ def cmd_run(args: argparse.Namespace) -> int:
         num_steps=args.steps,
         frame_interval=args.frame_interval,
         debug=args.debug,
+        checkpoint_every=args.checkpoint_every,
+        checkpoint_dir=args.checkpoint_dir,
+        resume_from=args.resume,
+        profile_dir=args.profile,
     )
     import jax
 

@@ -42,6 +42,10 @@ class RunConfig:
     donate: bool = True  # donate the state buffer across scan steps
     debug: bool = False  # capture per-step total density (DEBUG analog,
     # SerialCode/d2q9-bgk.c:175-179); forces the per-step scan path
+    checkpoint_every: int | None = None  # save state every N steps
+    checkpoint_dir: str = "checkpoints"
+    resume_from: str | None = None  # path of a checkpoint .npz to resume
+    profile_dir: str | None = None  # capture a jax profiler trace of compute
 
 
 @dataclasses.dataclass
@@ -77,12 +81,14 @@ def _pick_variant(scene: Scene, config: RunConfig) -> str:
     return "jnp"
 
 
-def build_program(scene: Scene, config: RunConfig) -> modes.StepProgram:
+def build_program(
+    scene: Scene, config: RunConfig, f0: np.ndarray | None = None
+) -> modes.StepProgram:
     variant = _pick_variant(scene, config)
     params, obst = scene.params, scene.obstacles
     if variant in ("jnp", "pallas"):
         return modes.build_single_program(
-            params, obst, backend=config.backend or variant
+            params, obst, f0=f0, backend=config.backend or variant
         )
     if variant in ("sync", "overlap", "async", "async-k", "chunked"):
         mesh = mesh_lib.make_row_mesh(config.num_devices)
@@ -98,6 +104,7 @@ def build_program(scene: Scene, config: RunConfig) -> modes.StepProgram:
             mesh,
             mode=mode,
             staleness=staleness,
+            f0=f0,
             backend=config.backend or "jnp",
         )
     raise ValueError(f"variant {variant!r} has no program builder")
@@ -192,6 +199,84 @@ def _make_scan(
     return jax.jit(run, donate_argnums=(0,))
 
 
+def _run_with_checkpoints(
+    scene: Scene,
+    config: RunConfig,
+    program: modes.StepProgram,
+    num_steps: int,
+    start_step: int,
+    av_prefix: np.ndarray,
+    timer: PhaseTimer,
+) -> RunResult:
+    """Segmented execution with periodic state checkpoints.
+
+    The scan is split into checkpoint_every-step segments; after each, the
+    distributions and the av_vels series so far are saved to
+    ``checkpoint_dir/ckpt_<step>.npz`` (loadable via RunConfig.resume_from).
+    The reference has no checkpointing — this is a production-framework
+    addition (SURVEY.md §5 notes its absence).
+    """
+    import os
+
+    if config.frame_interval is not None or config.debug:
+        raise ValueError("frames/debug are not supported with checkpointing")
+    params = scene.params
+    seg = config.checkpoint_every
+    assert seg is not None and seg > 0
+    if program.steps_per_call > 1 and seg % program.steps_per_call:
+        raise ValueError("checkpoint_every must be a multiple of the chunk size")
+
+    remaining = num_steps - start_step
+    seg_lengths = [seg] * (remaining // seg)
+    if remaining % seg:
+        seg_lengths.append(remaining % seg)
+
+    runs = {}
+    for n in set(seg_lengths):
+        runs[n] = _make_scan(program, n, None, False)
+    # Compile (init phase cost).
+    state = program.init_state
+    compiled = {n: r.lower(state).compile() for n, r in runs.items()}
+    timer.stop("init")
+
+    os.makedirs(config.checkpoint_dir, exist_ok=True)
+    av_parts = [av_prefix]
+    step_count = start_step
+    timer.start("compute")
+    for n in seg_lengths:
+        state, tot_us, _ = compiled[n](state)
+        step_count += n
+        # Checkpoint I/O happens between segments (outside would be dishonest
+        # — it is a real cost of enabling checkpointing).
+        av_parts.append(
+            np.asarray(jax.device_get(tot_us), dtype=np.float32)
+            / np.float32(program.tot_cells)
+        )
+        f_np = np.asarray(jax.device_get(program.f_of(state)), dtype=np.float32)
+        np.savez_compressed(
+            os.path.join(config.checkpoint_dir, f"ckpt_{step_count:08d}.npz"),
+            f=f_np,
+            step=step_count,
+            av_vels=np.concatenate(av_parts),
+        )
+    timer.stop("compute")
+
+    timer.start("collate")
+    av_vels = np.concatenate(av_parts)
+    f = np.asarray(jax.device_get(program.f_of(state)), dtype=np.float32)
+    timer.stop("collate")
+    reynolds = (
+        params.reynolds_dim * float(av_vels[-1]) / params.viscosity if len(av_vels) else 0.0
+    )
+    return RunResult(
+        f=f,
+        av_vels=av_vels,
+        reynolds=reynolds,
+        timer=timer,
+        variant=program.variant,
+    )
+
+
 def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
     """Run a full simulation: init → compute (one on-device scan) → collate."""
     config = config or RunConfig()
@@ -210,11 +295,37 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
         reynolds = params.reynolds_dim * float(av_vels[-1]) / params.viscosity if num_steps else 0.0
         return RunResult(f=f, av_vels=av_vels, reynolds=reynolds, timer=timer, variant=variant)
 
+    # Resume: restore distributions and the completed-step count from a
+    # checkpoint (halo state of async modes is re-initialised fresh).
+    f_resume = None
+    start_step = 0
+    av_prefix = np.zeros(0, dtype=np.float32)
+    if config.resume_from:
+        with np.load(config.resume_from) as ck:
+            f_resume = np.asarray(ck["f"], dtype=np.float32)
+            start_step = int(ck["step"])
+            av_prefix = np.asarray(ck["av_vels"], dtype=np.float32)
+        if f_resume.shape != (9, params.ny, params.nx):
+            raise ValueError(
+                f"checkpoint grid {f_resume.shape} does not match scene "
+                f"(9, {params.ny}, {params.nx})"
+            )
+        if start_step >= num_steps:
+            raise ValueError(
+                f"checkpoint is at step {start_step}, beyond num_steps={num_steps}"
+            )
+
     timer.start("init")
-    program = build_program(scene, config)
+    program = build_program(scene, config, f0=f_resume)
     # Shape hint for the frames buffer (global grid extents).
     program.init_state_shape_hint = (params.ny, params.nx)  # type: ignore[attr-defined]
-    run = _make_scan(program, num_steps, config.frame_interval, config.debug)
+
+    if config.checkpoint_every:
+        return _run_with_checkpoints(
+            scene, config, program, num_steps, start_step, av_prefix, timer
+        )
+
+    run = _make_scan(program, num_steps - start_step, config.frame_interval, config.debug)
     # Compile before timing the compute phase (compilation is init cost, as
     # the reference's timed Compute section starts after initialise).
     state0 = program.init_state
@@ -222,8 +333,16 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
     timer.stop("init")
 
     timer.start("compute")
-    state, tot_us, frames = compiled(state0)
-    jax.block_until_ready(tot_us)
+    if config.profile_dir:
+        # Device-level tracing (the reference's only tracing is wall-clock
+        # phase brackets, SerialCode/d2q9-bgk.c:156-200; this captures the
+        # full XLA/TPU timeline for TensorBoard/xprof).
+        with jax.profiler.trace(config.profile_dir):
+            state, tot_us, frames = compiled(state0)
+            jax.block_until_ready(tot_us)
+    else:
+        state, tot_us, frames = compiled(state0)
+        jax.block_until_ready(tot_us)
     timer.stop("compute")
 
     timer.start("collate")
@@ -234,20 +353,22 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
     f = np.asarray(jax.device_get(program.f_of(state)), dtype=np.float32)
     tot_us = np.asarray(jax.device_get(tot_us), dtype=np.float32)
     av_vels = tot_us / np.float32(program.tot_cells)
+    if start_step:
+        av_vels = np.concatenate([av_prefix, av_vels])
     frames_np = None
     frame_steps = None
     if frames is not None:
         frames_np = np.asarray(jax.device_get(frames), dtype=np.float32)
-        frame_steps = np.arange(frames_np.shape[0]) * config.frame_interval
+        frame_steps = start_step + np.arange(frames_np.shape[0]) * config.frame_interval
     timer.stop("collate")
 
     if config.debug and densities is not None:
         # Reference DEBUG output, deferred out of the timed loop
         # (SerialCode/d2q9-bgk.c:175-179).
-        for tt in range(num_steps):
+        for tt in range(start_step, num_steps):
             print(f"==timestep: {tt}==")
             print("av velocity: %.12E" % av_vels[tt])
-            print("tot density: %.12E" % densities[tt])
+            print("tot density: %.12E" % densities[tt - start_step])
 
     reynolds = (
         params.reynolds_dim * float(av_vels[-1]) / params.viscosity if num_steps else 0.0

@@ -1,0 +1,65 @@
+"""Checkpoint/resume: interrupted runs continue to identical results."""
+
+import numpy as np
+import pytest
+
+from lbm_tpu.io.scene import Scene
+from lbm_tpu.models import RunConfig, run_simulation
+
+
+@pytest.fixture
+def scene(small_params, small_obstacles):
+    return Scene(params=small_params.replace(max_iters=20), obstacles=small_obstacles)
+
+
+def test_checkpoint_and_resume_bitwise(tmp_path, scene):
+    ref = run_simulation(scene, RunConfig(variant="jnp"))
+
+    ckdir = tmp_path / "ck"
+    res = run_simulation(
+        scene,
+        RunConfig(variant="jnp", checkpoint_every=7, checkpoint_dir=str(ckdir)),
+    )
+    # Segmented execution is the same scan math: bitwise-equal final state.
+    np.testing.assert_array_equal(res.f, ref.f)
+    np.testing.assert_allclose(res.av_vels, ref.av_vels, rtol=1e-6)
+    cks = sorted(ckdir.glob("ckpt_*.npz"))
+    assert [int(p.stem.split("_")[1]) for p in cks] == [7, 14, 20]
+
+    # Resume from the middle checkpoint; the completed series and final state
+    # match the uninterrupted run.
+    res2 = run_simulation(
+        scene, RunConfig(variant="jnp", resume_from=str(cks[1]))
+    )
+    np.testing.assert_array_equal(res2.f, ref.f)
+    assert len(res2.av_vels) == 20
+    np.testing.assert_allclose(res2.av_vels, ref.av_vels, rtol=1e-6)
+
+
+def test_resume_sharded(tmp_path, scene):
+    ckdir = tmp_path / "ck"
+    run_simulation(
+        scene,
+        RunConfig(variant="sync", num_devices=2, checkpoint_every=10,
+                  checkpoint_dir=str(ckdir)),
+    )
+    ck = sorted(ckdir.glob("ckpt_*.npz"))[0]
+    res = run_simulation(
+        scene, RunConfig(variant="sync", num_devices=2, resume_from=str(ck))
+    )
+    ref = run_simulation(scene, RunConfig(variant="jnp"))
+    np.testing.assert_array_equal(res.f, ref.f)
+
+
+def test_resume_rejects_mismatched_grid(tmp_path, scene, small_params):
+    ckdir = tmp_path / "ck"
+    run_simulation(
+        scene, RunConfig(variant="jnp", checkpoint_every=20, checkpoint_dir=str(ckdir))
+    )
+    ck = next(iter(ckdir.glob("ckpt_*.npz")))
+    bad = Scene(
+        params=small_params.replace(nx=32, max_iters=20),
+        obstacles=np.zeros((16, 32), dtype=bool),
+    )
+    with pytest.raises(ValueError, match="does not match"):
+        run_simulation(bad, RunConfig(variant="jnp", resume_from=str(ck)))
