@@ -17,13 +17,14 @@ Two forms are provided:
   play the role of the reference's MPI halo rows, MPI/d2q9-bgk.c:205-248)
   and for the Pallas kernel's per-block tile compute.
 
-All arithmetic is float32 and mirrors the association order of the reference
-C expressions so results track the golden data far inside the 1% tolerance.
+All arithmetic is float32; the cell update uses the shared VPU-economical
+math of ops/stencil_math.py (paired equilibria, moment-reused av_velocity),
+validated to track the golden data far inside the 1% tolerance over full
+runs.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -72,66 +73,6 @@ def apply_accel_row(row: jax.Array, fluid_row: jax.Array, w1, w2) -> jax.Array:
         ]
     )
     return row + deltas
-
-
-def collide_streamed(
-    streamed: jax.Array, obstacles: jax.Array, omega
-) -> jax.Array:
-    """Bounce-back + BGK on already-streamed distributions.
-
-    ``streamed`` has shape (9, ...); obstacle cells get the mirrored streamed
-    values (rebound, SerialCode/d2q9-bgk.c:279-304), fluid cells relax toward
-    the 2nd-order equilibrium (collision, SerialCode/d2q9-bgk.c:306-407).
-    """
-    c_sq = _f32(1.0 / 3.0)
-    inv_csq = _f32(3.0)
-    inv_2csqsq = _f32(1.0 / (2.0 * (1.0 / 3.0) * (1.0 / 3.0)))  # 4.5
-    half_inv_csq = _f32(1.5)
-    w0 = _f32(4.0 / 9.0)
-    w1 = _f32(1.0 / 9.0)
-    w2 = _f32(1.0 / 36.0)
-    one = _f32(1.0)
-
-    t = streamed
-    rho = ((((((((t[0] + t[1]) + t[2]) + t[3]) + t[4]) + t[5]) + t[6]) + t[7]) + t[8])
-    u_x = ((t[1] + t[5] + t[8]) - (t[3] + t[6] + t[7])) / rho
-    u_y = ((t[2] + t[5] + t[6]) - (t[4] + t[7] + t[8])) / rho
-    u_sq = u_x * u_x + u_y * u_y
-    usq_term = u_sq * half_inv_csq
-
-    u_dir = (
-        None,
-        u_x,
-        u_y,
-        -u_x,
-        -u_y,
-        u_x + u_y,
-        u_y - u_x,
-        -u_x - u_y,
-        u_x - u_y,
-    )
-
-    relaxed = [t[0] + omega * (w0 * rho * (one - usq_term) - t[0])]
-    for k in range(1, lattice.NSPEEDS):
-        w = w1 if k < 5 else w2
-        u = u_dir[k]
-        d_equ = w * rho * (one + u * inv_csq + (u * u) * inv_2csqsq - usq_term)
-        relaxed.append(t[k] + omega * (d_equ - t[k]))
-    relaxed = jnp.stack(relaxed)
-
-    mirrored = t[np.array(lattice.OPP)]
-    return jnp.where(obstacles[None], mirrored, relaxed)
-
-
-def av_velocity_sum(f: jax.Array, fluid: jax.Array) -> jax.Array:
-    """Sum of |u| over fluid cells on post-collision state
-    (SerialCode/d2q9-bgk.c:409-458; fused inline by the parallel reference
-    variants, OpenMP/d2q9-bgk.c:450-479)."""
-    rho = ((((((((f[0] + f[1]) + f[2]) + f[3]) + f[4]) + f[5]) + f[6]) + f[7]) + f[8])
-    u_x = ((f[1] + f[5] + f[8]) - (f[3] + f[6] + f[7])) / rho
-    u_y = ((f[2] + f[5] + f[6]) - (f[4] + f[7] + f[8])) / rho
-    speed = jnp.sqrt(u_x * u_x + u_y * u_y)
-    return jnp.sum(jnp.where(fluid, speed, _f32(0.0)), dtype=F32)
 
 
 def stream_periodic(f: jax.Array) -> jax.Array:

@@ -25,7 +25,6 @@ the same accuracy contract (<1% deviation from sync, README.md:9-13).
 from __future__ import annotations
 
 import dataclasses
-import functools
 from typing import Any, Callable
 
 import numpy as np
