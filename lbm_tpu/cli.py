@@ -28,7 +28,15 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
         "async-k | chunked (aliases: openmp, mpi, waitall, testall); default auto",
     )
     p.add_argument("--devices", type=int, default=None, help="mesh size for sharded variants")
-    p.add_argument("--staleness", type=int, default=1, help="halo age for async variants")
+    p.add_argument(
+        "--staleness", type=int, default=None,
+        help="halo age for async variants / chunk length for chunked "
+        "(default: async 1, async-k 2, chunked 2)",
+    )
+    p.add_argument(
+        "--backend", choices=["jnp", "pallas"], default=None,
+        help="force the per-shard compute backend for sharded variants",
+    )
     p.add_argument("--steps", type=int, default=None, help="override maxIters")
     p.add_argument("--frame-interval", type=int, default=None, help="capture |u| every k steps")
     p.add_argument("--out-dir", default=".", help="output directory")
@@ -86,6 +94,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         staleness=args.staleness,
         num_steps=args.steps,
         frame_interval=args.frame_interval,
+        backend=args.backend,
         debug=args.debug,
         checkpoint_every=args.checkpoint_every,
         checkpoint_dir=args.checkpoint_dir,

@@ -124,5 +124,10 @@ def read_av_vels(path: str | os.PathLike) -> np.ndarray:
 
 
 def read_final_state(path: str | os.PathLike) -> np.ndarray:
-    """Load (x, y, |u|) columns of a final_state.dat file (check/check.py:61-63)."""
+    """Load the columns the validation contract compares: (x, y, pressure).
+
+    Column 5 of a final_state line is the *pressure*; the reference checker
+    loads exactly usecols=[0, 1, 5] (check/check.py:61-63), so the golden
+    comparison validates the pressure field, not |u| (column 4).
+    """
     return np.loadtxt(path, usecols=[0, 1, 5], dtype=np.float64, ndmin=2)

@@ -28,6 +28,7 @@ from lbm_tpu.io.scene import Scene
 from lbm_tpu.models.variants import resolve_variant
 from lbm_tpu.parallel import modes
 from lbm_tpu.parallel import mesh as mesh_lib
+from lbm_tpu.utils.invariants import calc_reynolds
 from lbm_tpu.utils.timing import PhaseTimer
 
 
@@ -35,7 +36,9 @@ from lbm_tpu.utils.timing import PhaseTimer
 class RunConfig:
     variant: str = "auto"
     num_devices: int | None = None  # sharded variants: mesh size (None = all)
-    staleness: int = 1  # async variants: halo age in steps
+    # Halo age for async variants / chunk length for chunked mode.
+    # None = per-variant default (async: 1, async-k: 2, chunked: 2).
+    staleness: int | None = None
     num_steps: int | None = None  # override params.max_iters
     frame_interval: int | None = None  # capture |u| every k steps (None = off)
     backend: str | None = None  # force "jnp"/"pallas" slab compute
@@ -93,11 +96,13 @@ def build_program(
     if variant in ("sync", "overlap", "async", "async-k", "chunked"):
         mesh = mesh_lib.make_row_mesh(config.num_devices)
         mode = {"async-k": "async"}.get(variant, variant)
-        staleness = config.staleness if variant in ("async", "async-k", "chunked") else 1
-        if variant == "async-k" and config.staleness == 1:
-            staleness = 2  # the explicit-queue variant defaults to deeper pipelining
-        if variant == "chunked" and config.staleness == 1:
-            staleness = 2  # a 1-step chunk is plain sync; default to 2
+        defaults = {"async": 1, "async-k": 2, "chunked": 2}
+        if variant in defaults:
+            staleness = (
+                config.staleness if config.staleness is not None else defaults[variant]
+            )
+        else:
+            staleness = 1
         return modes.build_sharded_program(
             params,
             obst,
@@ -115,6 +120,7 @@ def _make_scan(
     num_steps: int,
     frame_interval: int | None,
     debug: bool = False,
+    donate: bool = True,
 ):
     """Compile the whole timestep loop into one on-device scan."""
     step = program.step
@@ -151,7 +157,7 @@ def _make_scan(
                 state, tot_us = run_all(state)
                 return state, tot_us, None
 
-            return jax.jit(run, donate_argnums=(0,))
+            return jax.jit(run, donate_argnums=(0,) if donate else ())
 
         def body(state, _):
             state, tot_u = step(state)
@@ -196,7 +202,7 @@ def _make_scan(
             )
             return state, tot_us, frames
 
-    return jax.jit(run, donate_argnums=(0,))
+    return jax.jit(run, donate_argnums=(0,) if donate else ())
 
 
 def _run_with_checkpoints(
@@ -233,7 +239,7 @@ def _run_with_checkpoints(
 
     runs = {}
     for n in set(seg_lengths):
-        runs[n] = _make_scan(program, n, None, False)
+        runs[n] = _make_scan(program, n, None, False, donate=config.donate)
     # Compile (init phase cost).
     state = program.init_state
     compiled = {n: r.lower(state).compile() for n, r in runs.items()}
@@ -265,9 +271,7 @@ def _run_with_checkpoints(
     av_vels = np.concatenate(av_parts)
     f = np.asarray(jax.device_get(program.f_of(state)), dtype=np.float32)
     timer.stop("collate")
-    reynolds = (
-        params.reynolds_dim * float(av_vels[-1]) / params.viscosity if len(av_vels) else 0.0
-    )
+    reynolds = calc_reynolds(params, av_vels[-1]) if len(av_vels) else 0.0
     return RunResult(
         f=f,
         av_vels=av_vels,
@@ -292,7 +296,7 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
             f, av_vels = oracle.run(params, obst, num_steps=num_steps)
         with timer.section("collate"):
             pass
-        reynolds = params.reynolds_dim * float(av_vels[-1]) / params.viscosity if num_steps else 0.0
+        reynolds = calc_reynolds(params, av_vels[-1]) if num_steps else 0.0
         return RunResult(f=f, av_vels=av_vels, reynolds=reynolds, timer=timer, variant=variant)
 
     # Resume: restore distributions and the completed-step count from a
@@ -325,7 +329,10 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
             scene, config, program, num_steps, start_step, av_prefix, timer
         )
 
-    run = _make_scan(program, num_steps - start_step, config.frame_interval, config.debug)
+    run = _make_scan(
+        program, num_steps - start_step, config.frame_interval, config.debug,
+        donate=config.donate,
+    )
     # Compile before timing the compute phase (compilation is init cost, as
     # the reference's timed Compute section starts after initialise).
     state0 = program.init_state
@@ -370,9 +377,7 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
             print("av velocity: %.12E" % av_vels[tt])
             print("tot density: %.12E" % densities[tt - start_step])
 
-    reynolds = (
-        params.reynolds_dim * float(av_vels[-1]) / params.viscosity if num_steps else 0.0
-    )
+    reynolds = calc_reynolds(params, av_vels[-1]) if num_steps else 0.0
     return RunResult(
         f=f,
         av_vels=av_vels,

@@ -61,7 +61,7 @@ def pick_block_rows(n_rows: int, nx: int) -> int:
     Blocks must stay sublane-aligned (multiple of 8) unless one block covers
     the whole shard.
     """
-    best = 1
+    best = None
     for b in range(1, n_rows + 1):
         if n_rows % b:
             continue
@@ -71,6 +71,12 @@ def pick_block_rows(n_rows: int, nx: int) -> int:
             best = b
         else:
             break
+    if best is None:
+        raise ValueError(
+            f"no sublane-aligned row block of a {n_rows}x{nx} shard fits the "
+            f"{_SLAB_BUDGET >> 20} MiB VMEM block budget; the grid is too "
+            "wide for the block kernel — use the jnp backend"
+        )
     return best
 
 

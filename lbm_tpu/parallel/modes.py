@@ -260,15 +260,22 @@ def build_sharded_program(
     def step_overlap(f_local, obst_slab):
         off = shard_row_offset()
         ghost_lo, ghost_hi = exchange(f_local)
-        # Interior rows 1..nloc-2 depend only on local data, so XLA can
-        # compute them while the ppermutes are in flight — the Isend/Irecv +
-        # interior-compute + Waitall discipline (MPI_Waitall/d2q9-bgk.c:234-253).
-        interior, tot_u_int = local_slab_step(f_local, obst_slab[1:-1], off + 1)
         bot_slab = jnp.concatenate([ghost_lo, f_local[:, :2]], axis=1)
         bot, tot_u_bot = local_slab_step(bot_slab, obst_slab[:3], off)
         top_slab = jnp.concatenate([f_local[:, -2:], ghost_hi], axis=1)
         top, tot_u_top = local_slab_step(top_slab, obst_slab[-3:], off + nloc - 1)
-        new_f = jnp.concatenate([bot, interior, top], axis=1)
+        if nloc > 2:
+            # Interior rows 1..nloc-2 depend only on local data, so XLA can
+            # compute them while the ppermutes fly — the Isend/Irecv +
+            # interior-compute + Waitall discipline
+            # (MPI_Waitall/d2q9-bgk.c:234-253).
+            interior, tot_u_int = local_slab_step(f_local, obst_slab[1:-1], off + 1)
+            new_f = jnp.concatenate([bot, interior, top], axis=1)
+        else:
+            # Two-row shards have no interior (the reference hits the same
+            # degenerate split when rows-per-rank is minimal).
+            tot_u_int = jnp.float32(0.0)
+            new_f = jnp.concatenate([bot, top], axis=1)
         return new_f, (tot_u_int + tot_u_bot) + tot_u_top
 
     def step_async(carry, obst_slab):

@@ -5,7 +5,7 @@
 # Source this before running: `source scripts/env.sh`
 
 # Keep the repo importable without clobbering plugin site paths.
-export PYTHONPATH="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd):${PYTHONPATH}"
+export PYTHONPATH="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd):${PYTHONPATH:-}"
 
 # Preallocate most of HBM for the solver (default JAX behavior); flip to
 # false when sharing the chip.

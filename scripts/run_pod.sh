@@ -32,7 +32,7 @@ except Exception as e:  # single-host fallback
 from lbm_tpu.cli import main
 
 argv = ["run", *sys.argv[1:]]
-if "--variant" not in argv:
+if not any(a == "--variant" or a.startswith("--variant=") for a in argv):
     argv += ["--variant", "async"]  # stale-halo mode: the headline distributed config
 sys.exit(main(argv))
 PY
