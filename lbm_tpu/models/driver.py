@@ -42,7 +42,11 @@ class RunConfig:
     num_steps: int | None = None  # override params.max_iters
     frame_interval: int | None = None  # capture |u| every k steps (None = off)
     backend: str | None = None  # force "jnp"/"pallas" slab compute
-    donate: bool = True  # donate the state buffer across scan steps
+    # Donate the initial state buffer to the scan.  Off by default: it saves
+    # only the init buffer (scan double-buffers internally), and donation of
+    # pallas_call-containing scans triggers backend errors / severe slowdowns
+    # on some TPU runtimes.
+    donate: bool = False
     debug: bool = False  # capture per-step total density (DEBUG analog,
     # SerialCode/d2q9-bgk.c:175-179); forces the per-step scan path
     checkpoint_every: int | None = None  # save state every N steps
@@ -74,12 +78,19 @@ def _pick_variant(scene: Scene, config: RunConfig) -> str:
     variant = resolve_variant(config.variant)
     if variant != "auto":
         return variant
-    # Auto policy (single chip): the VMEM-resident Pallas kernel when the
-    # grid fits on-chip (far fastest); otherwise the XLA-fused jnp step,
-    # which currently outruns the block-Pallas kernel on large grids.
-    from lbm_tpu.ops import resident_pallas
+    # Auto policy (single chip), from measured v5e numbers:
+    # - VMEM-resident Pallas kernel when the whole grid fits on-chip
+    #   (12-24k MLUPS on the reference's small grids);
+    # - XLA-fused jnp step for mid-size grids (best at 1024^2: 5.6k MLUPS);
+    # - block Pallas kernel for very large grids, where XLA's fusion starts
+    #   materializing the streamed planes in HBM and falls off a cliff
+    #   (2048^2: 2552 vs 1472 MLUPS; 4096^2: 2312 vs 966).
+    from lbm_tpu.ops import fused_pallas, resident_pallas
 
-    if resident_pallas.supports(scene.params) and config.frame_interval is None:
+    params = scene.params
+    if resident_pallas.supports(params) and config.frame_interval is None:
+        return "pallas"
+    if params.num_cells > 1_300_000 and fused_pallas.supports(params):
         return "pallas"
     return "jnp"
 
