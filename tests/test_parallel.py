@@ -204,3 +204,26 @@ def test_chunked_through_driver(small_params, small_obstacles):
     scene2 = Scene(params=small_params.replace(max_iters=25), obstacles=small_obstacles)
     with pytest.raises(ValueError, match="multiple"):
         run_simulation(scene2, RunConfig(variant="chunked", num_devices=2, staleness=4))
+
+
+def test_overlap_two_row_shards_both_backends():
+    """Regression: 2-row shards have no interior sub-slab; the overlap
+    discipline must still compute both boundary rows correctly (this crashed
+    the pallas backend before the fix)."""
+    from lbm_tpu.params import LBMParams
+
+    params = LBMParams(nx=128, ny=16, max_iters=4, reynolds_dim=10,
+                       density=0.1, accel=0.005, omega=1.85)
+    mask = np.zeros((16, 128), dtype=bool)
+    mask[0, :] = mask[-1, :] = True
+
+    mesh8 = mesh_lib.make_row_mesh(8)  # nloc = 2
+    single = modes.build_single_program(params, mask)
+    f_ref, tots_ref = _run(single, steps=4)
+    for backend in ("jnp", "pallas"):
+        prog = modes.build_sharded_program(
+            params, mask, mesh8, mode="overlap", backend=backend
+        )
+        f, tots = _run(prog, steps=4)
+        np.testing.assert_allclose(f, f_ref, atol=5e-8)
+        np.testing.assert_allclose(tots, tots_ref, rtol=1e-5)
