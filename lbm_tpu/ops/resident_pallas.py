@@ -36,17 +36,23 @@ F32 = jnp.float32
 NS = lattice.NSPEEDS
 LANE = 128
 
-# Two f buffers + mask + headroom must fit VMEM.
-_VMEM_STATE_BUDGET = 11 * 1024 * 1024
+# VMEM budget: two f buffers + roughly one f worth of live temporaries
+# (streamed planes / equilibria) + the mask must fit the 16 MiB scoped VMEM.
+# Calibrated on v5e: a 128x1024 shard (3x state = 14.2 MiB) OOMs at 19 MiB
+# scoped usage, a 96x1024 shard (10.6 MiB) compiles and runs.
+_VMEM_STATE_BUDGET = 14 * 1024 * 1024
 DEFAULT_CHUNK = 256
 
 
+def _fits(ny: int, nx: int, mask_rows: int) -> bool:
+    return 3 * NS * ny * nx * 4 + mask_rows * nx * 4 <= _VMEM_STATE_BUDGET
+
+
 def supports(params: LBMParams) -> bool:
-    bytes_needed = 2 * NS * params.ny * params.nx * 4 + params.ny * params.nx * 4
     return (
         params.nx % LANE == 0
         and params.ny % 8 == 0
-        and bytes_needed <= _VMEM_STATE_BUDGET
+        and _fits(params.ny, params.nx, params.ny)
     )
 
 
@@ -198,3 +204,151 @@ def make_run_all(
         return f, jnp.concatenate(tot_us) if len(tot_us) > 1 else tot_us[0]
 
     return run_all
+
+
+# --- ghost-aware resident chunks: the multi-chip per-shard fast path --------
+
+
+def supports_shard(nloc: int, nx: int) -> bool:
+    return nx % LANE == 0 and nloc % 8 == 0 and _fits(nloc, nx, nloc + 2)
+
+
+def _ghosted_chunk_kernel(
+    row_off_ref,  # (1, 1) int32 SMEM: global row of local row 0
+    f_ref,  # (9, nloc, nx) VMEM in
+    glo_ref,  # (9, 1, nx) VMEM in: ghost row below, fixed for the chunk
+    ghi_ref,  # (9, 1, nx) VMEM in: ghost row above, fixed for the chunk
+    obst_ref,  # (nloc+2, nx) f32 VMEM in (ghost-extended)
+    fout_ref,  # (9, nloc, nx) VMEM out
+    av_ref,  # (chunk, 1) f32 SMEM out
+    *,
+    chunk: int,
+    nloc: int,
+    omega: float,
+    accel_row: int,
+    w1a: float,
+    w2a: float,
+):
+    """Advance ``chunk`` steps of one shard with frozen ghost rows.
+
+    The per-shard compute of the chunked-async discipline: ghost rows stay
+    fixed across the chunk (age 1..k), so the whole chunk runs without HBM
+    traffic or collectives.  Semantics are identical to k applications of the
+    jnp ghosted-slab step with a constant slab boundary.
+    """
+    fluid_ext = obst_ref[...] == F32(0.0)
+    fluid_body = fluid_ext[1 : nloc + 1]
+    obst_body = jnp.logical_not(fluid_body)
+    row_off = row_off_ref[0, 0]
+    row_mask_body = (
+        row_off + jax.lax.broadcasted_iota(jnp.int32, (nloc, 1), 0) == accel_row
+    )
+
+    # Ghost rows are constant, so their (idempotent per-step) driven-row
+    # injection is precomputed once.
+    glo = [glo_ref[k] for k in range(NS)]  # (1, nx) each
+    ghi = [ghi_ref[k] for k in range(NS)]
+    glo = stencil_math.accel_planes(
+        glo, fluid_ext[0:1], (row_off - 1) == accel_row, F32(w1a), F32(w2a)
+    )
+    ghi = stencil_math.accel_planes(
+        ghi, fluid_ext[nloc + 1 :], (row_off + nloc) == accel_row, F32(w1a), F32(w2a)
+    )
+
+    def one_step(src_ref, dst_ref, t):
+        planes = [src_ref[k] for k in range(NS)]
+        planes = stencil_math.accel_planes(
+            planes, fluid_body, row_mask_body, F32(w1a), F32(w2a)
+        )
+        streamed = []
+        for k in range(NS):
+            cy, cx = lattice.CY[k], lattice.CX[k]
+            if cy == 1:
+                rows = jnp.concatenate([glo[k], planes[k][:-1]], axis=0)
+            elif cy == -1:
+                rows = jnp.concatenate([planes[k][1:], ghi[k]], axis=0)
+            else:
+                rows = planes[k]
+            if cx == 1:
+                rows = jnp.concatenate([rows[:, -1:], rows[:, :-1]], axis=1)
+            elif cx == -1:
+                rows = jnp.concatenate([rows[:, 1:], rows[:, :1]], axis=1)
+            streamed.append(rows)
+        out, partial = stencil_math.collide_and_av(streamed, obst_body, F32(omega))
+        for k in range(NS):
+            dst_ref[k] = out[k]
+        av_ref[t, 0] = partial
+
+    def body(it, _):
+        one_step(f_ref, fout_ref, 2 * it)
+        one_step(fout_ref, f_ref, 2 * it + 1)
+        return 0
+
+    lax.fori_loop(0, chunk // 2, body, 0)
+
+    if chunk % 2 == 1:
+        one_step(f_ref, fout_ref, chunk - 1)
+    else:
+        for k in range(NS):
+            fout_ref[k] = f_ref[k]
+
+
+def make_ghosted_chunk_runner(
+    params: LBMParams,
+    nloc: int,
+    nx: int,
+    chunk: int,
+    interpret: bool | None = None,
+):
+    """Build the per-shard chunk step:
+    ``(f, ghost_lo, ghost_hi, obst_ext_f32, row_offset) -> (f', av (chunk,))``.
+    """
+    import functools
+
+    if not supports_shard(nloc, nx):
+        raise ValueError(
+            f"shard {nloc}x{nx} does not fit the VMEM-resident chunk kernel"
+        )
+    if interpret is None:
+        interpret = _use_interpret()
+    w1a, w2a = lattice.accel_weights(params.density, params.accel)
+    kernel = functools.partial(
+        _ghosted_chunk_kernel,
+        chunk=chunk,
+        nloc=nloc,
+        omega=float(params.omega),
+        accel_row=params.accel_row,
+        w1a=float(w1a),
+        w2a=float(w2a),
+    )
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((NS, nloc, nx), jnp.float32),
+            jax.ShapeDtypeStruct((chunk, 1), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=chunk * 130 * nloc * nx,
+            bytes_accessed=2 * NS * nloc * nx * 4,
+            transcendentals=chunk * nloc * nx,
+        ),
+    )
+
+    def run_chunk(f, ghost_lo, ghost_hi, obst_ext, row_offset):
+        row_off = jnp.asarray(row_offset, dtype=jnp.int32).reshape(1, 1)
+        new_f, av = call(row_off, f, ghost_lo, ghost_hi, obst_ext)
+        return new_f, av[:, 0]
+
+    return run_chunk

@@ -302,6 +302,18 @@ def build_sharded_program(
         new_f, tot_u = local_slab_step(slab, obst_slab, shard_row_offset())
         return (new_f, q_lo, q_hi), tot_u
 
+    if backend == "pallas" and mode == "chunked":
+        from lbm_tpu.ops import resident_pallas
+
+        if resident_pallas.supports_shard(nloc, nx):
+            ghosted_chunk = resident_pallas.make_ghosted_chunk_runner(
+                params, nloc, nx, staleness
+            )
+        else:
+            ghosted_chunk = None
+    else:
+        ghosted_chunk = None
+
     def step_chunked(carry, obst_slab):
         # Beyond the reference: advance `staleness` steps per halo exchange,
         # with ghost rows frozen for the chunk (age 1..k).  One ppermute pair
@@ -309,13 +321,21 @@ def build_sharded_program(
         # steps are a pure local loop (VMEM-friendly).
         f_local, ghost_lo, ghost_hi = carry
         off = shard_row_offset()
-        tots = []
-        for _ in range(staleness):
-            slab = jnp.concatenate([ghost_lo, f_local, ghost_hi], axis=1)
-            f_local, tot_u = local_slab_step(slab, obst_slab, off)
-            tots.append(tot_u)
+        if ghosted_chunk is not None:
+            # The whole chunk runs inside one VMEM-resident kernel: zero HBM
+            # traffic between the k inner steps.
+            f_local, tots = ghosted_chunk(
+                f_local, ghost_lo, ghost_hi, obst_slab.astype(jnp.float32), off
+            )
+        else:
+            tot_list = []
+            for _ in range(staleness):
+                slab = jnp.concatenate([ghost_lo, f_local, ghost_hi], axis=1)
+                f_local, tot_u = local_slab_step(slab, obst_slab, off)
+                tot_list.append(tot_u)
+            tots = jnp.stack(tot_list)
         new_ghosts = exchange(f_local)
-        return (f_local, *new_ghosts), jnp.stack(tots)
+        return (f_local, *new_ghosts), tots
 
     # --- wrap in shard_map over global arrays -------------------------------
 

@@ -227,3 +227,32 @@ def test_overlap_two_row_shards_both_backends():
         f, tots = _run(prog, steps=4)
         np.testing.assert_allclose(f, f_ref, atol=5e-8)
         np.testing.assert_allclose(tots, tots_ref, rtol=1e-5)
+
+
+def test_chunked_pallas_resident_matches_jnp():
+    """The ghost-aware VMEM-resident chunk kernel (multi-chip fast path)
+    computes exactly what k jnp ghosted-slab steps with frozen ghosts do."""
+    from lbm_tpu.ops import resident_pallas
+    from lbm_tpu.params import LBMParams
+
+    params = LBMParams(nx=128, ny=32, max_iters=8, reynolds_dim=10,
+                       density=0.1, accel=0.005, omega=1.85)
+    mask = np.zeros((32, 128), dtype=bool)
+    mask[0, :] = mask[-1, :] = True
+    mask[:, 0] = mask[:, -1] = True
+    mesh2 = mesh_lib.make_row_mesh(2)
+    assert resident_pallas.supports_shard(16, 128)
+
+    pj = modes.build_sharded_program(params, mask, mesh2, mode="chunked",
+                                     staleness=4, backend="jnp")
+    pp = modes.build_sharded_program(params, mask, mesh2, mode="chunked",
+                                     staleness=4, backend="pallas")
+    sj, sp = pj.init_state, pp.init_state
+    stj, stp = jax.jit(pj.step), jax.jit(pp.step)
+    for _ in range(3):
+        sj, tj = stj(sj)
+        sp, tp = stp(sp)
+    np.testing.assert_allclose(
+        np.asarray(pp.f_of(sp)), np.asarray(pj.f_of(sj)), atol=5e-8
+    )
+    np.testing.assert_allclose(np.asarray(tp), np.asarray(tj), rtol=1e-5)
