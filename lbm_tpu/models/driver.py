@@ -81,16 +81,13 @@ def _pick_variant(scene: Scene, config: RunConfig) -> str:
     # Auto policy (single chip), from measured v5e numbers:
     # - VMEM-resident Pallas kernel when the whole grid fits on-chip
     #   (12-24k MLUPS on the reference's small grids);
-    # - XLA-fused jnp step for mid-size grids (best at 1024^2: 5.6k MLUPS);
-    # - block Pallas kernel for very large grids, where XLA's fusion starts
-    #   materializing the streamed planes in HBM and falls off a cliff
-    #   (2048^2: 2552 vs 1472 MLUPS; 4096^2: 2312 vs 966).
+    # - block Pallas kernel otherwise (1024^2: 9.8k vs 5.3k MLUPS for the
+    #   XLA-fused step; 2048^2: 3.5k vs 1.5k; 4096^2: 3.0k vs 1.0k);
+    # - jnp fallback for grids the kernels don't map (nx not lane-aligned).
     from lbm_tpu.ops import fused_pallas, resident_pallas
 
     params = scene.params
-    if resident_pallas.supports(params) and config.frame_interval is None:
-        return "pallas"
-    if params.num_cells > 1_300_000 and fused_pallas.supports(params):
+    if fused_pallas.supports(params):
         return "pallas"
     return "jnp"
 

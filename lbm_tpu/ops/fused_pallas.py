@@ -46,8 +46,20 @@ NS = lattice.NSPEEDS
 
 # Lane (x) dimension must be a multiple of the TPU lane width.
 LANE = 128
-# VMEM budget for one input block (bytes); block height is chosen under it.
-_SLAB_BUDGET = 4 * 1024 * 1024
+# Scoped-VMEM budget for the whole pipelined kernel (bytes), with margin
+# under the 16 MiB hardware limit.
+_VMEM_BUDGET = int(15.5 * 1024 * 1024)
+
+
+def _kernel_footprint(b: int, nx: int) -> int:
+    """Estimated scoped-VMEM bytes at block height ``b``.
+
+    Calibrated against observed Mosaic stack allocations on v5e: ~6 live
+    (NS, b, nx) buffers (double-buffered in/out + temporaries), the four
+    ghost-group buffers, and the obstacle block.  Matches the measured
+    pass/fail boundary at nx = 1024/2048/4096.
+    """
+    return 4 * (6 * NS * b * nx + 4 * NS * 8 * nx + 2 * (b + 2) * nx)
 
 
 def supports(params: LBMParams) -> bool:
@@ -67,15 +79,15 @@ def pick_block_rows(n_rows: int, nx: int) -> int:
             continue
         if b % 8 and b != n_rows:
             continue
-        if NS * (b + 2) * nx * 4 <= _SLAB_BUDGET:
+        if _kernel_footprint(b, nx) <= _VMEM_BUDGET:
             best = b
         else:
             break
     if best is None:
         raise ValueError(
             f"no sublane-aligned row block of a {n_rows}x{nx} shard fits the "
-            f"{_SLAB_BUDGET >> 20} MiB VMEM block budget; the grid is too "
-            "wide for the block kernel — use the jnp backend"
+            f"{_VMEM_BUDGET >> 20} MiB VMEM budget; the grid is too wide for "
+            "the block kernel — use the jnp backend"
         )
     return best
 
@@ -94,8 +106,12 @@ def _roll_x(x: jax.Array, shift: int) -> jax.Array:
 def _step_kernel(
     row_off_ref,  # (1, 1) int32, SMEM: global row index of local row 0
     f_ref,  # (9, B, nx) VMEM: this block's body rows (auto-pipelined)
-    glo_ref,  # (1, 9, nx) VMEM: ghost row below this block
-    ghi_ref,  # (1, 9, nx) VMEM: ghost row above this block
+    glo8_ref,  # (9, 8, nx) VMEM: the 8-row group ending at this block's
+    #            lower ghost row (modular index; garbage wrap rows at i == 0)
+    ghi8_ref,  # (9, 8, nx) VMEM: the 8-row group starting at this block's
+    #            upper ghost row (garbage wrap rows at i == nb-1)
+    lo_ref,  # (9, 1, nx) VMEM: external halo below the shard (used at i == 0)
+    hi_ref,  # (9, 1, nx) VMEM: external halo above the shard (i == nb-1)
     obst_ref,  # (1, B+2, nx) VMEM: ghosted obstacle rows (1.0 = blocked)
     out_ref,  # (9, B, nx) VMEM
     sum_ref,  # (1, 1) f32, SMEM: |u| accumulator across blocks
@@ -107,6 +123,7 @@ def _step_kernel(
     w2a: float,
 ):
     i = pl.program_id(0)
+    nb = pl.num_programs(0)
     B = block_rows
     start = pl.multiple_of(i * B, B)
 
@@ -121,12 +138,16 @@ def _step_kernel(
     )
     row_mask = global_rows == accel_row
 
-    glo = glo_ref[0]  # (9, nx)
-    ghi = ghi_ref[0]
-    planes = [
-        jnp.concatenate([glo[k : k + 1], f_ref[k], ghi[k : k + 1]], axis=0)
-        for k in range(NS)
-    ]
+    # Ghost rows arrive as aligned 8-row blocks of f itself (fetched by the
+    # pipeline via modular index maps); shard-edge blocks take the external
+    # halo rows instead.
+    at_lo_edge = i == 0
+    at_hi_edge = i == nb - 1
+    planes = []
+    for k in range(NS):
+        glo_k = jnp.where(at_lo_edge, lo_ref[k, 0], glo8_ref[k, 7])[None]
+        ghi_k = jnp.where(at_hi_edge, hi_ref[k, 0], ghi8_ref[k, 0])[None]
+        planes.append(jnp.concatenate([glo_k, f_ref[k], ghi_k], axis=0))
     planes = stencil_math.accel_planes(planes, fluid_slab, row_mask, F32(w1a), F32(w2a))
 
     # Pull streaming: y from the ghosted rows, x by lane rotation.
@@ -180,13 +201,36 @@ def _build_call(params: LBMParams, n_rows: int, nx: int, interpret: bool):
         w2a=float(w2a),
     )
 
+    # Ghost rows ride the pipeline as aligned 8-row blocks of f with modular
+    # index maps (block i's lower ghost is the last row of the 8-row group
+    # ending at i*B; its upper ghost starts the group at (i+1)*B).  Gathering
+    # them outside the kernel instead costs a full extra HBM sweep of f.
+    if nb > 1:
+        g8 = B // 8
+        n8 = n_rows // 8
+        glo8_spec = pl.BlockSpec(
+            (NS, 8, nx), lambda i: (0, (i * g8 - 1) % n8, 0), memory_space=pltpu.VMEM
+        )
+        ghi8_spec = pl.BlockSpec(
+            (NS, 8, nx), lambda i: (0, (i * g8 + g8) % n8, 0), memory_space=pltpu.VMEM
+        )
+    else:
+        # Single block: external halos are always selected; give the ghost
+        # blocks any valid fixed mapping.
+        rows8 = 8 if n_rows % 8 == 0 else n_rows
+        glo8_spec = ghi8_spec = pl.BlockSpec(
+            (NS, rows8, nx), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+        )
+
     grid_spec = pl.GridSpec(
         grid=(nb,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # row_offset (1,1)
             pl.BlockSpec((NS, B, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NS, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, NS, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            glo8_spec,  # f again: lower-ghost 8-row group
+            ghi8_spec,  # f again: upper-ghost 8-row group
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # external halo below (9,1,nx)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # external halo above (9,1,nx)
             pl.BlockSpec((1, B + 2, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=(
@@ -215,16 +259,7 @@ def _build_call(params: LBMParams, n_rows: int, nx: int, interpret: bool):
         """f (9, n_rows, nx); ghosts (9, 1, nx); obst_blocks (nb, B+2, nx)
         f32; row_offset scalar int32 (global row of local row 0)."""
         row_off = jnp.asarray(row_offset, dtype=jnp.int32).reshape(1, 1)
-        # Per-block ghost rows: block i's lower ghost is row i*B-1, its upper
-        # ghost is row (i+1)*B — shard-edge blocks take the external halos.
-        if nb > 1:
-            glo = jnp.concatenate([ghost_lo, f[:, B - 1 :: B, :][:, :-1, :]], axis=1)
-            ghi = jnp.concatenate([f[:, B::B, :], ghost_hi], axis=1)
-        else:
-            glo, ghi = ghost_lo, ghost_hi
-        glo = glo.transpose(1, 0, 2)  # (nb, 9, nx)
-        ghi = ghi.transpose(1, 0, 2)
-        new_f, tot = call(row_off, f, glo, ghi, obst_blocks)
+        new_f, tot = call(row_off, f, f, f, ghost_lo, ghost_hi, obst_blocks)
         return new_f, tot[0, 0]
 
     return step_slab, B, nb

@@ -67,7 +67,7 @@ def test_block_kernel_matches_jnp(scene128):
 def test_block_kernel_multiblock(scene128, monkeypatch):
     """Force several row blocks so inter-block ghost rows are exercised."""
     params, mask = scene128
-    monkeypatch.setattr(fused_pallas, "_SLAB_BUDGET", 64 * 1024)
+    monkeypatch.setattr(fused_pallas, "_VMEM_BUDGET", 512 * 1024)
     assert fused_pallas.pick_block_rows(params.ny, params.nx) < params.ny
     f_j, _ = _run_jnp(params, mask, 5)
     step = jax.jit(fused_pallas.make_step(params, mask, interpret=True))
