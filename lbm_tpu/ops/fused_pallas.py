@@ -63,8 +63,14 @@ def _kernel_footprint(b: int, nx: int) -> int:
 
 
 def supports(params: LBMParams) -> bool:
-    """The kernel handles grids whose x-extent is lane-aligned."""
-    return params.nx % LANE == 0 and params.ny >= 8
+    """The kernel handles lane-aligned grids for which a block fits VMEM."""
+    if params.nx % LANE != 0 or params.ny < 8:
+        return False
+    try:
+        pick_block_rows(params.ny, params.nx)
+    except ValueError:
+        return False
+    return True
 
 
 def pick_block_rows(n_rows: int, nx: int) -> int:
@@ -117,6 +123,9 @@ def _step_kernel(
     sum_ref,  # (1, 1) f32, SMEM: |u| accumulator across blocks
     *,
     block_rows: int,
+    ghost_rows: int,  # row count of the ghost-group blocks (8, or n_rows if
+    # the shard has a single non-8-aligned block; their content is then
+    # unused because edge blocks always select the external halos)
     omega: float,
     accel_row: int,
     w1a: float,
@@ -145,7 +154,7 @@ def _step_kernel(
     at_hi_edge = i == nb - 1
     planes = []
     for k in range(NS):
-        glo_k = jnp.where(at_lo_edge, lo_ref[k, 0], glo8_ref[k, 7])[None]
+        glo_k = jnp.where(at_lo_edge, lo_ref[k, 0], glo8_ref[k, ghost_rows - 1])[None]
         ghi_k = jnp.where(at_hi_edge, hi_ref[k, 0], ghi8_ref[k, 0])[None]
         planes.append(jnp.concatenate([glo_k, f_ref[k], ghi_k], axis=0))
     planes = stencil_math.accel_planes(planes, fluid_slab, row_mask, F32(w1a), F32(w2a))
@@ -192,14 +201,6 @@ def _build_call(params: LBMParams, n_rows: int, nx: int, interpret: bool):
     nb = n_rows // B
     w1a, w2a = lattice.accel_weights(params.density, params.accel)
 
-    kernel = functools.partial(
-        _step_kernel,
-        block_rows=B,
-        omega=float(params.omega),
-        accel_row=params.accel_row,
-        w1a=float(w1a),
-        w2a=float(w2a),
-    )
 
     # Ghost rows ride the pipeline as aligned 8-row blocks of f with modular
     # index maps (block i's lower ghost is the last row of the 8-row group
@@ -208,6 +209,7 @@ def _build_call(params: LBMParams, n_rows: int, nx: int, interpret: bool):
     if nb > 1:
         g8 = B // 8
         n8 = n_rows // 8
+        ghost_rows = 8
         glo8_spec = pl.BlockSpec(
             (NS, 8, nx), lambda i: (0, (i * g8 - 1) % n8, 0), memory_space=pltpu.VMEM
         )
@@ -217,10 +219,20 @@ def _build_call(params: LBMParams, n_rows: int, nx: int, interpret: bool):
     else:
         # Single block: external halos are always selected; give the ghost
         # blocks any valid fixed mapping.
-        rows8 = 8 if n_rows % 8 == 0 else n_rows
+        ghost_rows = 8 if n_rows % 8 == 0 else n_rows
         glo8_spec = ghi8_spec = pl.BlockSpec(
-            (NS, rows8, nx), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            (NS, ghost_rows, nx), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         )
+
+    kernel = functools.partial(
+        _step_kernel,
+        block_rows=B,
+        ghost_rows=ghost_rows,
+        omega=float(params.omega),
+        accel_row=params.accel_row,
+        w1a=float(w1a),
+        w2a=float(w2a),
+    )
 
     grid_spec = pl.GridSpec(
         grid=(nb,),

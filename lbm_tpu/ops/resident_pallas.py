@@ -303,8 +303,6 @@ def make_ghosted_chunk_runner(
     """Build the per-shard chunk step:
     ``(f, ghost_lo, ghost_hi, obst_ext_f32, row_offset) -> (f', av (chunk,))``.
     """
-    import functools
-
     if not supports_shard(nloc, nx):
         raise ValueError(
             f"shard {nloc}x{nx} does not fit the VMEM-resident chunk kernel"
