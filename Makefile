@@ -30,5 +30,10 @@ check: native
 	    --ref-final-state-file /root/reference/check/128x128.final_state.dat \
 	    --av-vels-file av_vels.dat --final-state-file final_state.dat
 
+# Full validation: run every reference scene end-to-end on the attached
+# accelerator and check against all golden data the mirror provides.
+check-all: native
+	bash scripts/check_all.sh
+
 clean:
 	rm -rf $(NATIVE_BUILD)

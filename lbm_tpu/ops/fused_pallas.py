@@ -9,9 +9,13 @@ TPU memory hierarchy instead of cache lines:
 
 - the grid is processed in row blocks; each block's 9 planes arrive in VMEM
   through the standard auto-pipelined BlockSpec path (double-buffered DMA
-  managed by the Pallas pipeline), with the two ghost rows of each block
-  pre-gathered into tiny ``(nb, 9, nx)`` side arrays (periodic wrap rows, or
-  externally supplied shard halos for the distributed path);
+  managed by the Pallas pipeline);
+- each block's two ghost rows also ride the pipeline, as aligned (9, 8, nx)
+  blocks of f fetched through *modular index maps* (block i's lower ghost is
+  the last row of the 8-row group ending at i*B); shard-edge blocks select
+  externally supplied halo rows in-kernel.  Assembling ghosts outside the
+  kernel instead costs a full extra HBM sweep of f — this design choice alone
+  is worth 2x (see ARCHITECTURE.md §3);
 - streaming is a static row shift against the ghosted block plus a lane
   rotation in x — no gathers, no dynamic shapes;
 - collision is pure VPU arithmetic, ordered exactly like the jnp/NumPy

@@ -11,7 +11,7 @@ export PYTHONPATH="$(cd "$(dirname "${BASH_SOURCE[0]}")/.." && pwd):${PYTHONPATH
 # false when sharing the chip.
 export XLA_PYTHON_CLIENT_PREALLOCATE=${XLA_PYTHON_CLIENT_PREALLOCATE:-true}
 
-# Async collectives: let the latency-hiding scheduler overlap ppermute halo
-# exchanges with interior compute (on by default in recent XLA; kept explicit
-# as documentation of the perf-critical knob).
-export XLA_FLAGS="${XLA_FLAGS:-} --xla_tpu_enable_async_collective_fusion=true"
+# Async collectives (the latency-hiding scheduler overlapping ppermute halo
+# exchanges with interior compute) are on by default in recent XLA. The
+# explicit knob is --xla_tpu_enable_async_collective_fusion; some libtpu
+# builds reject unknown XLA_FLAGS outright, so it is not forced here.
