@@ -15,3 +15,8 @@ export XLA_PYTHON_CLIENT_PREALLOCATE=${XLA_PYTHON_CLIENT_PREALLOCATE:-true}
 # exchanges with interior compute) are on by default in recent XLA. The
 # explicit knob is --xla_tpu_enable_async_collective_fusion; some libtpu
 # builds reject unknown XLA_FLAGS outright, so it is not forced here.
+
+# Optional: persistent XLA compilation cache (JAX_COMPILATION_CACHE_DIR=dir).
+# Speeds up repeat runs when the runtime's compile service honors it; the
+# axon remote-compile service keeps its own server-side cache with its own
+# eviction, so hits are best-effort.
