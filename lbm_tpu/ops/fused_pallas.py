@@ -52,7 +52,7 @@ NS = lattice.NSPEEDS
 LANE = 128
 # Scoped-VMEM budget for the whole pipelined kernel (bytes), with margin
 # under the 16 MiB hardware limit.
-_VMEM_BUDGET = int(15.5 * 1024 * 1024)
+_VMEM_BUDGET = int(15.2 * 1024 * 1024)
 
 
 def _kernel_footprint(b: int, nx: int) -> int:
@@ -63,7 +63,7 @@ def _kernel_footprint(b: int, nx: int) -> int:
     ghost-group buffers, and the obstacle block.  Matches the measured
     pass/fail boundary at nx = 1024/2048/4096.
     """
-    return 4 * (6 * NS * b * nx + 4 * NS * 8 * nx + 2 * (b + 2) * nx)
+    return 4 * (6 * NS * b * nx + 2 * NS * 8 * nx + 2 * NS * nx + 2 * (b + 2) * nx)
 
 
 def supports(params: LBMParams) -> bool:
@@ -116,8 +116,6 @@ def _roll_x(x: jax.Array, shift: int) -> jax.Array:
 def _step_kernel(
     row_off_ref,  # (1, 1) int32, SMEM: global row index of local row 0
     f_ref,  # (9, B, nx) VMEM: this block's body rows (auto-pipelined)
-    glo8_ref,  # (9, 8, nx) VMEM: the 8-row group ending at this block's
-    #            lower ghost row (modular index; garbage wrap rows at i == 0)
     ghi8_ref,  # (9, 8, nx) VMEM: the 8-row group starting at this block's
     #            upper ghost row (garbage wrap rows at i == nb-1)
     lo_ref,  # (9, 1, nx) VMEM: external halo below the shard (used at i == 0)
@@ -125,11 +123,14 @@ def _step_kernel(
     obst_ref,  # (1, B+2, nx) VMEM: ghosted obstacle rows (1.0 = blocked)
     out_ref,  # (9, B, nx) VMEM
     sum_ref,  # (1, 1) f32, SMEM: |u| accumulator across blocks
+    prev_ref,  # (9, 1, nx) VMEM scratch: previous block's last body row —
+    # grid steps run sequentially, so block i's lower ghost is simply what
+    # block i-1 left here (no HBM fetch at all for lower ghosts)
     *,
     block_rows: int,
-    ghost_rows: int,  # row count of the ghost-group blocks (8, or n_rows if
-    # the shard has a single non-8-aligned block; their content is then
-    # unused because edge blocks always select the external halos)
+    ghost_rows: int,  # row count of the upper ghost-group blocks (8, or
+    # n_rows if the shard has a single non-8-aligned block; unused content —
+    # edge blocks always select the external halos)
     omega: float,
     accel_row: int,
     w1a: float,
@@ -151,16 +152,20 @@ def _step_kernel(
     )
     row_mask = global_rows == accel_row
 
-    # Ghost rows arrive as aligned 8-row blocks of f itself (fetched by the
-    # pipeline via modular index maps); shard-edge blocks take the external
-    # halo rows instead.
+    # Lower ghost: carried in scratch from the previous grid step (grid steps
+    # are sequential on a TPU core).  Upper ghost: fetched by the pipeline as
+    # an aligned 8-row block of f via a modular index map.  Shard-edge blocks
+    # take the external halo rows instead.
     at_lo_edge = i == 0
     at_hi_edge = i == nb - 1
     planes = []
     for k in range(NS):
-        glo_k = jnp.where(at_lo_edge, lo_ref[k, 0], glo8_ref[k, ghost_rows - 1])[None]
+        glo_k = jnp.where(at_lo_edge, lo_ref[k, 0], prev_ref[k, 0])[None]
         ghi_k = jnp.where(at_hi_edge, hi_ref[k, 0], ghi8_ref[k, 0])[None]
         planes.append(jnp.concatenate([glo_k, f_ref[k], ghi_k], axis=0))
+    # Leave this block's last body row for the next block's lower ghost.
+    for k in range(NS):
+        prev_ref[k, 0] = f_ref[k, B - 1]
     planes = stencil_math.accel_planes(planes, fluid_slab, row_mask, F32(w1a), F32(w2a))
 
     # Pull streaming: y from the ghosted rows, x by lane rotation.
@@ -206,25 +211,22 @@ def _build_call(params: LBMParams, n_rows: int, nx: int, interpret: bool):
     w1a, w2a = lattice.accel_weights(params.density, params.accel)
 
 
-    # Ghost rows ride the pipeline as aligned 8-row blocks of f with modular
-    # index maps (block i's lower ghost is the last row of the 8-row group
-    # ending at i*B; its upper ghost starts the group at (i+1)*B).  Gathering
-    # them outside the kernel instead costs a full extra HBM sweep of f.
+    # Upper ghost rows ride the pipeline as aligned 8-row blocks of f with a
+    # modular index map (the group starting at (i+1)*B); lower ghosts are
+    # carried in VMEM scratch from the previous grid step.  Gathering ghosts
+    # outside the kernel instead costs a full extra HBM sweep of f.
     if nb > 1:
         g8 = B // 8
         n8 = n_rows // 8
         ghost_rows = 8
-        glo8_spec = pl.BlockSpec(
-            (NS, 8, nx), lambda i: (0, (i * g8 - 1) % n8, 0), memory_space=pltpu.VMEM
-        )
         ghi8_spec = pl.BlockSpec(
             (NS, 8, nx), lambda i: (0, (i * g8 + g8) % n8, 0), memory_space=pltpu.VMEM
         )
     else:
         # Single block: external halos are always selected; give the ghost
-        # blocks any valid fixed mapping.
+        # block any valid fixed mapping.
         ghost_rows = 8 if n_rows % 8 == 0 else n_rows
-        glo8_spec = ghi8_spec = pl.BlockSpec(
+        ghi8_spec = pl.BlockSpec(
             (NS, ghost_rows, nx), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         )
 
@@ -238,27 +240,26 @@ def _build_call(params: LBMParams, n_rows: int, nx: int, interpret: bool):
         w2a=float(w2a),
     )
 
-    grid_spec = pl.GridSpec(
-        grid=(nb,),
-        in_specs=[
+    in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # row_offset (1,1)
             pl.BlockSpec((NS, B, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            glo8_spec,  # f again: lower-ghost 8-row group
             ghi8_spec,  # f again: upper-ghost 8-row group
             pl.BlockSpec(memory_space=pltpu.VMEM),  # external halo below (9,1,nx)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # external halo above (9,1,nx)
             pl.BlockSpec((1, B + 2, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((NS, B, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
-        ),
+    ]
+    out_specs = (
+        pl.BlockSpec((NS, B, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
     )
 
     flops_per_cell = 160
     call = pl.pallas_call(
         kernel,
-        grid_spec=grid_spec,
+        grid=(nb,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=[pltpu.VMEM((NS, 1, nx), jnp.float32)],
         out_shape=(
             jax.ShapeDtypeStruct((NS, n_rows, nx), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
@@ -275,7 +276,7 @@ def _build_call(params: LBMParams, n_rows: int, nx: int, interpret: bool):
         """f (9, n_rows, nx); ghosts (9, 1, nx); obst_blocks (nb, B+2, nx)
         f32; row_offset scalar int32 (global row of local row 0)."""
         row_off = jnp.asarray(row_offset, dtype=jnp.int32).reshape(1, 1)
-        new_f, tot = call(row_off, f, f, f, ghost_lo, ghost_hi, obst_blocks)
+        new_f, tot = call(row_off, f, f, ghost_lo, ghost_hi, obst_blocks)
         return new_f, tot[0, 0]
 
     return step_slab, B, nb
