@@ -125,3 +125,26 @@ def test_pallas_golden_prefix():
     gold = np.loadtxt("/root/reference/check/128x128.av_vels.dat", usecols=[1])[:60]
     rel = 100 * np.abs((gold - av) / av)
     assert rel.max() < 0.1
+
+
+def test_wide_grid_fallback():
+    """Grids too wide for any aligned block reject cleanly, and the auto
+    policy falls back to jnp instead of crashing."""
+    from lbm_tpu.io.scene import Scene
+    from lbm_tpu.models.driver import RunConfig, _pick_variant
+
+    wide = LBMParams(nx=128 * 128, ny=8, max_iters=1, reynolds_dim=10,
+                     density=0.1, accel=0.005, omega=1.85)
+    assert not fused_pallas.supports(wide)
+    with pytest.raises(ValueError, match="VMEM"):
+        fused_pallas.pick_block_rows(wide.ny, wide.nx)
+    sc = Scene(params=wide, obstacles=np.zeros((wide.ny, wide.nx), dtype=bool))
+    assert _pick_variant(sc, RunConfig()) == "jnp"
+
+
+def test_footprint_model_monotone():
+    """Block picks respect the calibrated VMEM boundary (nx=1024 -> B=64,
+    nx=2048 -> B<=16, nx=4096 -> B=8), matching measured compile limits."""
+    assert fused_pallas.pick_block_rows(1024, 1024) == 64
+    assert fused_pallas.pick_block_rows(2048, 2048) <= 16
+    assert fused_pallas.pick_block_rows(4096, 4096) == 8
