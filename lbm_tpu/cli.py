@@ -252,11 +252,18 @@ def main(argv: list[str] | None = None) -> int:
     p_speed.add_argument("reports", nargs="+")
     p_speed.add_argument("--output", default="speedup.png")
 
+    sub.add_parser(
+        "scene", help="generate a scene (cavity/channel/cylinder)", add_help=False
+    )
     sub.add_parser("info", help="print device/runtime info")
 
-    # `check` forwards unparsed args to the checker for flag compatibility.
+    # `check` and `scene` forward unparsed args to their own parsers.
     if argv and argv[0] == "check":
         return cmd_check(argv[1:])
+    if argv and argv[0] == "scene":
+        from lbm_tpu.tools.scenegen import main as scene_main
+
+        return scene_main(argv[1:])
 
     args = parser.parse_args(argv)
     handler = {

@@ -93,3 +93,31 @@ def test_debug_flag(tmp_path, small_params, small_obstacles, capsys):
     dens = [float(l.split(":")[1]) for l in out.splitlines() if l.startswith("tot density")]
     expected = 0.1 * 16 * 16
     np.testing.assert_allclose(dens, expected, rtol=1e-5)
+
+
+def test_scene_generator_roundtrip(tmp_path):
+    """Generated scenes load through the standard scene loaders and run."""
+    from lbm_tpu.io import load_scene
+    from lbm_tpu.models import RunConfig, run_simulation
+    from lbm_tpu.tools.scenegen import make_mask
+
+    rc = main(["scene", "--grid", "32x16", "--preset", "cylinder",
+               "--iters", "5", "--out-dir", str(tmp_path)])
+    assert rc == 0
+    sc = load_scene(tmp_path / "input_32x16_cylinder.params",
+                    tmp_path / "obstacles_32x16_cylinder.dat")
+    assert (sc.params.nx, sc.params.ny) == (32, 16)
+    assert sc.obstacles.sum() > 0
+    np.testing.assert_array_equal(sc.obstacles, make_mask("cylinder", 16, 32))
+    res = run_simulation(sc, RunConfig(variant="jnp"))
+    assert np.isfinite(res.av_vels).all()
+
+
+def test_scene_presets_closed_box():
+    from lbm_tpu.tools.scenegen import PRESETS, make_mask
+
+    for preset in PRESETS:
+        m = make_mask(preset, 24, 48)
+        assert m.shape == (24, 48)
+        if preset != "empty":
+            assert m[0].all() and m[-1].all()  # exact seam-padding guarantee
