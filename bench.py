@@ -35,7 +35,7 @@ def main() -> int:
             "unit": report["unit"],
             "vs_baseline": report["vs_baseline"],
         }
-    except Exception as e:  # always emit the one-line JSON contract
+    except Exception as e:  # emit the one-line JSON contract, but fail loudly
         out = {
             "metric": f"MLUPS {grid}",
             "value": 0,
@@ -43,6 +43,8 @@ def main() -> int:
             "vs_baseline": 0,
             "error": f"{type(e).__name__}: {e}",
         }
+        print(json.dumps(out))
+        return 1
     print(json.dumps(out))
     return 0
 

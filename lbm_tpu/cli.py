@@ -263,7 +263,11 @@ def main(argv: list[str] | None = None) -> int:
     if argv and argv[0] == "scene":
         from lbm_tpu.tools.scenegen import main as scene_main
 
-        return scene_main(argv[1:])
+        try:
+            return scene_main(argv[1:])
+        except (OSError, ValueError) as e:
+            print(f"Error: {e}", file=sys.stderr)
+            return 1
 
     args = parser.parse_args(argv)
     handler = {

@@ -84,10 +84,10 @@ def _pick_variant(scene: Scene, config: RunConfig) -> str:
     # - block Pallas kernel otherwise (1024^2: 9.8k vs 5.3k MLUPS for the
     #   XLA-fused step; 2048^2: 3.5k vs 1.5k; 4096^2: 3.0k vs 1.0k);
     # - jnp fallback for grids the kernels don't map (nx not lane-aligned).
-    from lbm_tpu.ops import fused_pallas
+    from lbm_tpu.ops import fused_pallas, resident_pallas
 
     params = scene.params
-    if fused_pallas.supports(params):
+    if resident_pallas.supports(params) or fused_pallas.supports(params):
         return "pallas"
     return "jnp"
 

@@ -10,12 +10,13 @@ TPU memory hierarchy instead of cache lines:
 - the grid is processed in row blocks; each block's 9 planes arrive in VMEM
   through the standard auto-pipelined BlockSpec path (double-buffered DMA
   managed by the Pallas pipeline);
-- each block's two ghost rows also ride the pipeline, as aligned (9, 8, nx)
-  blocks of f fetched through *modular index maps* (block i's lower ghost is
-  the last row of the 8-row group ending at i*B); shard-edge blocks select
-  externally supplied halo rows in-kernel.  Assembling ghosts outside the
-  kernel instead costs a full extra HBM sweep of f — this design choice alone
-  is worth 2x (see ARCHITECTURE.md §3);
+- each block's *upper* ghost row rides the pipeline as an aligned (9, 8, nx)
+  block of f fetched through a modular index map (the group starting at
+  (i+1)*B); the *lower* ghost is free — grid steps run sequentially, so a
+  revisited VMEM scratch carries block i-1's last body row into block i.
+  Shard-edge blocks select externally supplied halo rows in-kernel.
+  Assembling ghosts outside the kernel instead costs a full extra HBM sweep
+  of f — this design choice alone is worth 2x (see ARCHITECTURE.md §3);
 - streaming is a static row shift against the ghosted block plus a lane
   rotation in x — no gathers, no dynamic shapes;
 - collision is pure VPU arithmetic, ordered exactly like the jnp/NumPy
@@ -128,9 +129,6 @@ def _step_kernel(
     # block i-1 left here (no HBM fetch at all for lower ghosts)
     *,
     block_rows: int,
-    ghost_rows: int,  # row count of the upper ghost-group blocks (8, or
-    # n_rows if the shard has a single non-8-aligned block; unused content —
-    # edge blocks always select the external halos)
     omega: float,
     accel_row: int,
     w1a: float,
@@ -218,7 +216,6 @@ def _build_call(params: LBMParams, n_rows: int, nx: int, interpret: bool):
     if nb > 1:
         g8 = B // 8
         n8 = n_rows // 8
-        ghost_rows = 8
         ghi8_spec = pl.BlockSpec(
             (NS, 8, nx), lambda i: (0, (i * g8 + g8) % n8, 0), memory_space=pltpu.VMEM
         )
@@ -233,7 +230,6 @@ def _build_call(params: LBMParams, n_rows: int, nx: int, interpret: bool):
     kernel = functools.partial(
         _step_kernel,
         block_rows=B,
-        ghost_rows=ghost_rows,
         omega=float(params.omega),
         accel_row=params.accel_row,
         w1a=float(w1a),
@@ -291,7 +287,9 @@ def make_step(params: LBMParams, obstacles: np.ndarray, interpret: bool | None =
     ny, nx = obstacles.shape
     if not supports(params):
         raise ValueError(
-            f"pallas kernel requires nx % {LANE} == 0 and ny >= 8, got {ny}x{nx}"
+            f"pallas block kernel cannot map a {ny}x{nx} grid: it requires "
+            f"nx % {LANE} == 0, ny >= 8, and a sublane-aligned row block "
+            "fitting the VMEM budget (too-wide grids: use the jnp backend)"
         )
     if interpret is None:
         interpret = _use_interpret()

@@ -99,10 +99,17 @@ def build_single_program(
                 )
 
             variant = "pallas-resident"
-        kernel_step = fused_pallas.make_step(params, np.asarray(obstacles))
+        if fused_pallas.supports(params):
+            kernel_step = fused_pallas.make_step(params, np.asarray(obstacles))
 
-        def step(f):
-            return kernel_step(f)
+            def step(f):
+                return kernel_step(f)
+
+        else:
+            # Resident-only grids (e.g. short-wide): per-step observation
+            # (frames/debug) falls back to the jnp step.
+            def step(f):
+                return fused_jnp.fused_step_single(f, obst, params)
 
     else:
 

@@ -133,7 +133,9 @@ def test_wide_grid_fallback():
     from lbm_tpu.io.scene import Scene
     from lbm_tpu.models.driver import RunConfig, _pick_variant
 
-    wide = LBMParams(nx=128 * 128, ny=8, max_iters=1, reynolds_dim=10,
+    # Wide enough that neither the block kernel (no aligned block fits) nor
+    # the resident kernel (state exceeds VMEM) can map the grid.
+    wide = LBMParams(nx=128 * 128, ny=16, max_iters=1, reynolds_dim=10,
                      density=0.1, accel=0.005, omega=1.85)
     assert not fused_pallas.supports(wide)
     with pytest.raises(ValueError, match="VMEM"):
