@@ -69,3 +69,37 @@ def test_all_obstacle_row_scene():
     np.testing.assert_allclose(av, 0.0, atol=1e-7)
     f0 = lattice.equilibrium_rest(params.density, 16, 16)
     np.testing.assert_allclose(f, f0, atol=1e-7)
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("shards", [2, 4])
+def test_sharded_sync_matches_single_on_random_scenes(seed, shards):
+    """Random obstacle geometry (including cells straddling shard
+    boundaries): sync sharding must stay bitwise-equal to single device."""
+    import jax
+
+    from lbm_tpu.parallel import mesh as mesh_lib
+    from lbm_tpu.parallel import modes
+
+    params, mask = _random_scene(seed + 100)
+    # Make row count shard-compatible without walls (exercise the
+    # no-padding path): crop to a multiple of `shards`.
+    ny = (params.ny // shards) * shards
+    if ny < 2 * shards:
+        ny = 2 * shards
+    params = params.replace(ny=ny)
+    mask = np.resize(mask, (ny, params.nx))
+
+    single = modes.build_single_program(params, mask)
+    f_s = single.init_state
+    step_s = jax.jit(single.step)
+    for _ in range(10):
+        f_s, _ = step_s(f_s)
+
+    mesh = mesh_lib.make_row_mesh(shards)
+    prog = modes.build_sharded_program(params, mask, mesh, mode="sync")
+    st = prog.init_state
+    step = jax.jit(prog.step)
+    for _ in range(10):
+        st, _ = step(st)
+    np.testing.assert_array_equal(np.asarray(prog.f_of(st)), np.asarray(f_s))
