@@ -64,12 +64,19 @@ class RunResult:
     variant: str
     frames: np.ndarray | None = None  # (n_frames, ny, nx) |u| snapshots
     frame_steps: np.ndarray | None = None
+    # Steps actually advanced by this run's compute phase (< len(av_vels)
+    # when resuming from a checkpoint — the prefix was computed earlier).
+    steps_computed: int | None = None
 
     @property
     def mlups(self) -> float:
         """Million lattice-cell updates per second of the compute phase."""
         cells = self.f.shape[1] * self.f.shape[2]
-        steps = len(self.av_vels)
+        steps = (
+            self.steps_computed
+            if self.steps_computed is not None
+            else len(self.av_vels)
+        )
         secs = self.timer.elapsed.get("compute", 0.0)
         return cells * steps / secs / 1e6 if secs > 0 else float("nan")
 
@@ -197,7 +204,10 @@ def _make_scan(
             return (state, frames), tot_u
 
         def run(state):
-            ny, nx = program.init_state_shape_hint
+            # Padded (shard-divisible) extents: the frames buffer shares the
+            # grid's row sharding, so it must use the internal shape; frames
+            # are cropped back to the user grid at collate.
+            ny, nx = program.global_shape
             frames0 = jnp.zeros((n_frames, ny, nx), dtype=jnp.float32)
             if program.mesh is not None:
                 from jax.sharding import NamedSharding, PartitionSpec as P
@@ -286,6 +296,7 @@ def _run_with_checkpoints(
         reynolds=reynolds,
         timer=timer,
         variant=program.variant,
+        steps_computed=num_steps - start_step,
     )
 
 
@@ -298,6 +309,11 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
     timer = PhaseTimer()
 
     if variant == "serial":
+        if config.resume_from or config.checkpoint_every:
+            raise ValueError(
+                "checkpoint/resume is not supported with the serial oracle "
+                "variant; use the jnp or pallas variant"
+            )
         with timer.section("init"):
             obst = scene.obstacles
         with timer.section("compute"):
@@ -329,8 +345,6 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
 
     timer.start("init")
     program = build_program(scene, config, f0=f_resume)
-    # Shape hint for the frames buffer (global grid extents).
-    program.init_state_shape_hint = (params.ny, params.nx)  # type: ignore[attr-defined]
 
     if config.checkpoint_every:
         return _run_with_checkpoints(
@@ -374,6 +388,8 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
     frame_steps = None
     if frames is not None:
         frames_np = np.asarray(jax.device_get(frames), dtype=np.float32)
+        # Drop seam-padding rows (buffer is allocated at the padded extents).
+        frames_np = frames_np[:, : params.ny, :]
         frame_steps = start_step + np.arange(frames_np.shape[0]) * config.frame_interval
     timer.stop("collate")
 
@@ -394,4 +410,5 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
         variant=program.variant,
         frames=frames_np,
         frame_steps=frame_steps,
+        steps_computed=num_steps - start_step,
     )

@@ -60,6 +60,11 @@ class StepProgram:
     # Timesteps advanced per step() call; >1 for the chunked-async mode
     # (step then returns a (steps_per_call,) tot_u vector).
     steps_per_call: int = 1
+    # Global grid extents of the *internal* (possibly seam-padded) state;
+    # on-device buffers indexed like the grid (e.g. frame captures) must use
+    # this shape so their sharding divides evenly.  f_of/u_mag still return
+    # the unpadded user view.
+    global_shape: tuple[int, int] | None = None
 
 
 def _u_mag_fn(obstacles: jax.Array) -> Callable[[jax.Array], jax.Array]:
@@ -111,6 +116,20 @@ def build_single_program(
             def step(f):
                 return fused_jnp.fused_step_single(f, obst, params)
 
+            if not resident_pallas.supports(params):
+                # Neither kernel maps this grid: a forced pallas run would
+                # silently execute jnp.  Say so, in the variant name too.
+                import warnings
+
+                warnings.warn(
+                    f"backend 'pallas' cannot map a {params.ny}x{params.nx} "
+                    "grid (nx not lane-aligned and too large for the "
+                    "resident kernel); running the XLA-fused jnp step "
+                    "instead",
+                    stacklevel=3,
+                )
+                variant = "pallas(jnp-fallback)"
+
     else:
 
         def step(f):
@@ -126,6 +145,7 @@ def build_single_program(
         mesh=None,
         variant=variant,
         make_run_all=make_run_all,
+        global_shape=(params.ny, params.nx),
     )
 
 
@@ -453,4 +473,5 @@ def build_sharded_program(
         variant=f"{mode}"
         + (f"-{staleness}" if mode in ("async", "chunked") and staleness > 1 else ""),
         steps_per_call=staleness if mode == "chunked" else 1,
+        global_shape=(ny, nx),
     )

@@ -31,6 +31,10 @@ class SeriesDiff:
     sim_val: float
     ref_val: float
     total_abs_diff: float
+    # Grid coordinate of the max diff (final_state only): the first two
+    # columns of the offending line, printed like the reference's
+    # "(at coord (jj,ii))" report (check/check.py:120-129).
+    coord: tuple[int, int] | None = None
 
     def passed(self, tolerance_pcnt: float) -> bool:
         return bool(
@@ -93,16 +97,25 @@ def check_files(
     if ref_av.size != sim_av.size:
         raise ValueError("Different number of steps in av_vels files")
 
+    fs_diff = compare_series(ref_fs[:, 2], sim_fs[:, 2])
+    fs_diff.coord = (
+        int(sim_fs[fs_diff.max_diff_index, 0]),
+        int(sim_fs[fs_diff.max_diff_index, 1]),
+    )
     return CheckResult(
         av_vels=compare_series(ref_av, sim_av),
-        final_state=compare_series(ref_fs[:, 2], sim_fs[:, 2]),
+        final_state=fs_diff,
         tolerance_pcnt=tolerance_pcnt,
     )
 
 
 def _report(name: str, d: SeriesDiff, where: str) -> None:
     print(f"Total difference in {name} : {d.total_abs_diff:.12E}")
-    print(f"Biggest difference ({where} {d.max_diff_index}) : {d.max_diff:.12E}")
+    if d.coord is not None:
+        loc = f"at coord ({d.coord[0]},{d.coord[1]})"
+    else:
+        loc = f"{where} {d.max_diff_index}"
+    print(f"Biggest difference ({loc}) : {d.max_diff:.12E}")
     print(f"  {d.sim_val:.12E} vs. {d.ref_val:.12E} = {d.max_diff_pcnt:.2g}%")
 
 

@@ -83,3 +83,39 @@ def test_driver_frames_sharded(scene):
 def test_mlups_metric(scene):
     result = run_simulation(scene, RunConfig(variant="jnp"))
     assert result.mlups > 0
+
+
+def test_driver_frames_sharded_indivisible(scene):
+    """ADVICE r1 (medium): frames + sharded variant on ny not divisible by
+    the device count must work — buffer allocated at the padded extents and
+    cropped back to the user grid."""
+    ref = run_simulation(scene, RunConfig(variant="jnp", frame_interval=10))
+    res = run_simulation(
+        scene, RunConfig(variant="sync", num_devices=3, frame_interval=10)
+    )
+    assert res.frames.shape == ref.frames.shape
+    np.testing.assert_array_equal(res.frames, ref.frames)
+
+
+def test_serial_rejects_checkpointing(scene):
+    """ADVICE r1: serial + resume/checkpoint must raise, not silently ignore."""
+    with pytest.raises(ValueError, match="serial"):
+        run_simulation(scene, RunConfig(variant="serial", resume_from="x.npz"))
+    with pytest.raises(ValueError, match="serial"):
+        run_simulation(scene, RunConfig(variant="serial", checkpoint_every=10))
+
+
+def test_resumed_mlups_counts_only_new_steps(scene, tmp_path):
+    """ADVICE r1: MLUPS on resumed runs must use steps computed this run."""
+    ck_dir = tmp_path / "ck"
+    run_simulation(
+        scene,
+        RunConfig(variant="jnp", checkpoint_every=10, checkpoint_dir=str(ck_dir)),
+    )
+    ck = sorted(ck_dir.glob("ckpt_*.npz"))[0]  # step 10 of 30
+    res = run_simulation(scene, RunConfig(variant="jnp", resume_from=str(ck)))
+    assert len(res.av_vels) == 30
+    assert res.steps_computed == 20
+    cells = scene.params.ny * scene.params.nx
+    expected = cells * 20 / res.timer.elapsed["compute"] / 1e6
+    assert res.mlups == pytest.approx(expected)

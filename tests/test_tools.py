@@ -121,3 +121,38 @@ def test_scene_presets_closed_box():
         assert m.shape == (24, 48)
         if preset != "empty":
             assert m[0].all() and m[-1].all()  # exact seam-padding guarantee
+
+
+def test_check_reports_max_diff_coordinate(tmp_path, capsys):
+    """VERDICT r1 #6: final_state max-diff location is printed as the grid
+    coordinate from the file's first two columns, like the reference
+    (check/check.py:120-129), not a flat index."""
+    from lbm_tpu.tools import check
+
+    def fs_lines(vals):
+        # 4x2 grid: lines "ii jj ux uy |u| pressure obst"
+        out = []
+        i = 0
+        for jj in range(2):
+            for ii in range(4):
+                out.append(f"{ii} {jj} 0 0 0 {vals[i]:.12E} 0\n")
+                i += 1
+        return "".join(out)
+
+    ref_vals = [1.0] * 8
+    sim_vals = list(ref_vals)
+    sim_vals[6] = 1.5  # coord ii=2, jj=1
+    (tmp_path / "ref_fs.dat").write_text(fs_lines(ref_vals))
+    (tmp_path / "sim_fs.dat").write_text(fs_lines(sim_vals))
+    (tmp_path / "ref_av.dat").write_text("0:\t1.0\n")
+    (tmp_path / "sim_av.dat").write_text("0:\t1.0\n")
+
+    rc = check.main([
+        "--ref-av-vels-file", str(tmp_path / "ref_av.dat"),
+        "--ref-final-state-file", str(tmp_path / "ref_fs.dat"),
+        "--av-vels-file", str(tmp_path / "sim_av.dat"),
+        "--final-state-file", str(tmp_path / "sim_fs.dat"),
+    ])
+    out = capsys.readouterr().out
+    assert "(at coord (2,1))" in out
+    assert rc == 1  # 50% diff fails the 1% tolerance
