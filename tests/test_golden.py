@@ -101,8 +101,8 @@ def test_full_run_av_vels_parity(grid):
 
 
 def test_regenerated_golden_loads():
-    """The committed 256x256 regression goldens load through the standard
-    readers (gzip transparently handled)."""
+    """The committed 256x256 and 1024x1024 regression goldens load through
+    the standard readers (gzip transparently handled)."""
     import pathlib
 
     from lbm_tpu.io.writers import read_av_vels, read_final_state
@@ -112,6 +112,30 @@ def test_regenerated_golden_loads():
     assert av.shape == (80000,)
     fs = read_final_state(root / "256x256.final_state.dat.gz")
     assert fs.shape == (256 * 256, 3)
+    av = read_av_vels(root / "1024x1024.av_vels.dat.gz")
+    assert av.shape == (20000,)
+    # The 1024^2 final_state is ~1M lines; parse a prefix to keep this fast.
+    import gzip
+
+    with gzip.open(root / "1024x1024.final_state.dat.gz", "rt") as fh:
+        first = fh.readline().split()
+    assert len(first) == 7 and first[0] == "0" and first[1] == "0"
+
+
+@requires_reference
+def test_regenerated_1024_golden_matches_reference_av_vels():
+    """The committed 1024^2 regression golden agrees with the reference's
+    surviving av_vels golden to 0.04% (the final_state golden was produced
+    by the same validated run)."""
+    import pathlib
+
+    from lbm_tpu.io.writers import read_av_vels
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "golden"
+    mine = read_av_vels(root / "1024x1024.av_vels.dat.gz")
+    gold = _golden_av("1024x1024")
+    diff = compare_series(gold, mine)
+    assert abs(diff.max_diff_pcnt) < 0.1, diff
 
 
 @requires_reference
