@@ -256,3 +256,61 @@ def test_chunked_pallas_resident_matches_jnp():
         np.asarray(pp.f_of(sp)), np.asarray(pj.f_of(sj)), atol=5e-8
     )
     np.testing.assert_allclose(np.asarray(tp), np.asarray(tj), rtol=1e-5)
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_async_k_queue_semantics_exact(small_params, small_obstacles, k):
+    """VERDICT r1 #8: pin the halo-queue semantics exactly.
+
+    Spec: the ghost rows consumed at step t are the rows of the async-evolved
+    state at step max(0, t-k) — i.e. step t consumes exactly the exchange
+    issued at step t-k (the initial queue counts as k copies of the step-0
+    exchange).  This history-indexed model (no queue) fails on any
+    off-by-one in the queue implementation (the bounded-deviation tests
+    would not, VERDICT.md weak #6).
+    """
+    from lbm_tpu.ops import fused_jnp
+
+    # T must exceed the ~8 steps the flow needs to propagate from the driven
+    # row to the shard seam plus the queue depth, or an off-by-one is
+    # invisible (ghost rows identical across adjacent history entries;
+    # verified: lag k±1 first diverges from lag k around step 8+k here).
+    R, T = 2, 14
+    params, obstacles = small_params, small_obstacles
+    ny, nx = obstacles.shape
+    nloc = ny // R
+    obst_slabs = np.asarray(modes._extended_obstacle_slabs(obstacles, R))
+
+    prog = modes.build_sharded_program(
+        params, obstacles, mesh_lib.make_row_mesh(R), mode="async", staleness=k
+    )
+    step = jax.jit(prog.step)
+
+    # --- history-indexed spec model (pure jnp, no shard_map, no queue) ----
+    import jax.numpy as jnp
+
+    f0 = np.asarray(prog.f_of(prog.init_state))  # unstepped initial state
+    # build_sharded_program's init_state is the *initial* f; f_of returns it.
+    locs = [jnp.asarray(f0[:, r * nloc:(r + 1) * nloc, :]) for r in range(R)]
+    hist = [locs]
+
+    slab_step = jax.jit(fused_jnp.fused_step_slab, static_argnums=(2,))
+
+    st = prog.init_state
+    for t in range(T):
+        src = hist[max(0, t - k)]
+        new_locs = []
+        for r in range(R):
+            lo = src[(r - 1) % R][:, -1:, :]
+            hi = src[(r + 1) % R][:, :1, :]
+            slab = jnp.concatenate([lo, hist[-1][r], hi], axis=1)
+            new_f, _ = slab_step(slab, jnp.asarray(obst_slabs[r]), params, r * nloc)
+            new_locs.append(new_f)
+        hist.append(new_locs)
+
+        st, _ = step(st)
+        got = np.asarray(prog.f_of(st))
+        want = np.concatenate([np.asarray(x) for x in new_locs], axis=1)
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"async-k state diverged from spec at step {t}"
+        )
