@@ -191,36 +191,46 @@ def build_sharded_program(
     num_shards = mesh.shape[ROWS]
     ny_orig = ny
     pad_rows = (-ny) % num_shards
+    open_pad = 0
     if pad_rows:
         # The reference spreads remainder rows across ranks
         # (MPI/d2q9-bgk.c:674-695); shard_map needs equal shards, so instead
-        # we insert blocked padding rows at the periodic seam.  This is
-        # *exact* when the seam rows are walls (an obstacle row's emissions
-        # toward a side are mirrors of the flux arriving from that side, so
-        # wall-to-wall exchanges never reach fluid) — which holds for the
-        # reference's closed-box scenes.
-        if not (obstacles[0].all() and obstacles[-1].all()):
-            raise ValueError(
-                f"ny={ny} is not divisible by the mesh size {num_shards} and "
-                "the periodic seam rows are not fully blocked, so blocked-row "
-                "padding would change the physics; choose a divisible device "
-                "count"
-            )
+        # we pad the last shard.  Two regimes:
+        #
+        # - *Walled seam* (the reference's closed-box scenes): blocked
+        #   padding rows.  Exact with zero extra communication — an obstacle
+        #   row's emissions toward a side are mirrors of the flux arriving
+        #   from that side, so wall-to-wall exchanges never reach fluid.
+        # - *Open seam*: pad rows are live CLONES of the global first rows
+        #   (the periodic wrap images), refreshed after every step by one
+        #   extra ppermute of pad_rows rows.  The last shard's top real row
+        #   then pulls its upper neighbors from a local clone of row 0, and
+        #   shard 0's lower ghost is specially sourced from the true last
+        #   real row — so sync/overlap remain bitwise-exact on any ny/P.
+        walled = bool(obstacles[0].all() and obstacles[-1].all())
+        if not walled:
+            open_pad = pad_rows
         obstacles = np.concatenate(
             [obstacles, np.ones((pad_rows, nx), dtype=bool)], axis=0
         )
         if f0 is not None:
-            f0 = np.concatenate(
-                [
-                    np.asarray(f0, dtype=np.float32),
-                    lattice.equilibrium_rest(params.density, pad_rows, nx),
-                ],
-                axis=1,
+            f0 = np.asarray(f0, dtype=np.float32)
+            tail = (
+                f0[:, :pad_rows, :]  # wrap clones
+                if open_pad
+                else lattice.equilibrium_rest(params.density, pad_rows, nx)
             )
+            f0 = np.concatenate([f0, tail], axis=1)
         ny += pad_rows
     nloc = ny // num_shards
     if nloc < 2:
         raise ValueError(f"need at least 2 rows per shard, got {nloc}")
+    if open_pad and open_pad > nloc - 1:
+        raise ValueError(
+            f"ny={ny_orig} over {num_shards} shards needs {open_pad} "
+            f"open-seam padding rows but shards have only {nloc} rows; "
+            "choose fewer devices"
+        )
     if mode not in ("sync", "overlap", "async", "chunked"):
         raise ValueError(f"unknown sharded mode {mode!r}")
     if staleness < 1:
@@ -263,10 +273,36 @@ def build_sharded_program(
     def exchange(f_local):
         """Ring halo exchange: returns (ghost row below, ghost row above) —
         the ppermute analog of the reference's paired Sendrecv
-        (MPI/d2q9-bgk.c:224-231)."""
-        ghost_lo = lax.ppermute(f_local[:, -1:, :], ROWS, fwd)
+        (MPI/d2q9-bgk.c:224-231).
+
+        Open-seam padding: the last shard's true last real row sits above
+        its pad clones, so it sends that row (not its final slab row) as the
+        lower ghost for shard 0."""
+        if open_pad:
+            is_last = lax.axis_index(ROWS) == num_shards - 1
+            send_lo = jnp.where(
+                is_last,
+                f_local[:, nloc - open_pad - 1 : nloc - open_pad, :],
+                f_local[:, -1:, :],
+            )
+        else:
+            send_lo = f_local[:, -1:, :]
+        ghost_lo = lax.ppermute(send_lo, ROWS, fwd)
         ghost_hi = lax.ppermute(f_local[:, :1, :], ROWS, bwd)
         return ghost_lo, ghost_hi
+
+    def refresh_pads(new_f):
+        """Open-seam padding: overwrite the last shard's pad rows with fresh
+        clones of the global first rows (the periodic wrap images).  One
+        ppermute of open_pad rows; identity when not open-padded."""
+        if not open_pad:
+            return new_f
+        recv = lax.ppermute(new_f[:, :open_pad, :], ROWS, bwd)
+        is_last = lax.axis_index(ROWS) == num_shards - 1
+        refreshed = jnp.concatenate(
+            [new_f[:, : nloc - open_pad, :], recv], axis=1
+        )
+        return jnp.where(is_last, refreshed, new_f)
 
     def shard_row_offset():
         return lax.axis_index(ROWS) * nloc
@@ -282,7 +318,7 @@ def build_sharded_program(
         )
         slab = jnp.concatenate([ghost_lo, f_local, ghost_hi], axis=1)
         new_f, tot_u = local_slab_step(slab, obst_slab, shard_row_offset())
-        return new_f, tot_u
+        return refresh_pads(new_f), tot_u
 
     def step_overlap(f_local, obst_slab):
         off = shard_row_offset()
@@ -303,7 +339,7 @@ def build_sharded_program(
             # degenerate split when rows-per-rank is minimal).
             tot_u_int = jnp.float32(0.0)
             new_f = jnp.concatenate([bot, top], axis=1)
-        return new_f, (tot_u_int + tot_u_bot) + tot_u_top
+        return refresh_pads(new_f), (tot_u_int + tot_u_bot) + tot_u_top
 
     def step_async(carry, obst_slab):
         # carry ghosts are one step old; the exchange issued here delivers
@@ -314,7 +350,7 @@ def build_sharded_program(
         new_ghosts = exchange(f_local)
         slab = jnp.concatenate([ghost_lo, f_local, ghost_hi], axis=1)
         new_f, tot_u = local_slab_step(slab, obst_slab, shard_row_offset())
-        return (new_f, *new_ghosts), tot_u
+        return (refresh_pads(new_f), *new_ghosts), tot_u
 
     def step_async_k(carry, obst_slab):
         # Explicit halo queue: ghosts consumed are k steps old.  The
@@ -327,9 +363,9 @@ def build_sharded_program(
         q_hi = jnp.concatenate([q_hi[1:], new_hi[None]], axis=0)
         slab = jnp.concatenate([ghost_lo, f_local, ghost_hi], axis=1)
         new_f, tot_u = local_slab_step(slab, obst_slab, shard_row_offset())
-        return (new_f, q_lo, q_hi), tot_u
+        return (refresh_pads(new_f), q_lo, q_hi), tot_u
 
-    if backend == "pallas" and mode == "chunked":
+    if backend == "pallas" and mode == "chunked" and not open_pad:
         from lbm_tpu.ops import resident_pallas
 
         if resident_pallas.supports_shard(nloc, nx):
@@ -355,14 +391,26 @@ def build_sharded_program(
                 f_local, ghost_lo, ghost_hi, obst_slab.astype(jnp.float32), off
             )
         else:
+            # Open-seam pads must stay valid within the chunk: freeze them at
+            # their chunk-start clone values (consistent with the frozen
+            # ghosts) — evolving them would feed garbage, not stale data, to
+            # the top real row's pulls.
+            if open_pad:
+                is_last = lax.axis_index(ROWS) == num_shards - 1
+                pads0 = f_local[:, nloc - open_pad :, :]
             tot_list = []
             for _ in range(staleness):
                 slab = jnp.concatenate([ghost_lo, f_local, ghost_hi], axis=1)
                 f_local, tot_u = local_slab_step(slab, obst_slab, off)
+                if open_pad:
+                    frozen = jnp.concatenate(
+                        [f_local[:, : nloc - open_pad, :], pads0], axis=1
+                    )
+                    f_local = jnp.where(is_last, frozen, f_local)
                 tot_list.append(tot_u)
             tots = jnp.stack(tot_list)
         new_ghosts = exchange(f_local)
-        return (f_local, *new_ghosts), tots
+        return (refresh_pads(f_local), *new_ghosts), tots
 
     # --- wrap in shard_map over global arrays -------------------------------
 

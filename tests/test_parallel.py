@@ -116,14 +116,71 @@ def test_indivisible_grid_padded_exactly(small_params, small_obstacles, single_r
     np.testing.assert_allclose(tots, single_result[1], rtol=1e-6)
 
 
-def test_rejects_indivisible_grid_with_open_seam(small_params):
-    """Without walls at the periodic seam, padding would change the physics
-    and must be refused."""
-    open_mask = np.zeros((small_params.ny, small_params.nx), dtype=bool)
-    mesh3 = mesh_lib.make_row_mesh(3)
-    with pytest.raises(ValueError, match="not divisible"):
+@pytest.mark.parametrize("mode", ["sync", "overlap"])
+@pytest.mark.parametrize("ny,shards", [(16, 3), (18, 5), (19, 4)])
+def test_open_seam_indivisible_grid_exact(mode, ny, shards):
+    """VERDICT r1 #6: indivisible grids with an OPEN periodic seam must shard
+    exactly.  Pad rows are live clones of the wrapped rows (refreshed each
+    step), so sync/overlap stay bitwise-equal to single-device — the
+    capability the reference gets from remainder-row spreading
+    (MPI/d2q9-bgk.c:674-695)."""
+    from lbm_tpu.params import LBMParams
+
+    params = LBMParams(nx=16, ny=ny, max_iters=24, reynolds_dim=10,
+                       density=0.1, accel=0.005, omega=1.85)
+    mask = np.zeros((ny, 16), dtype=bool)
+    mask[5:7, 8:10] = True  # interior block only; seam rows are open fluid
+
+    single = modes.build_single_program(params, mask)
+    f_ref, tots_ref = _run(single, steps=24)
+    prog = modes.build_sharded_program(
+        params, mask, mesh_lib.make_row_mesh(shards), mode=mode
+    )
+    f, tots = _run(prog, steps=24)
+    assert f.shape == (9, ny, 16)
+    np.testing.assert_array_equal(f, f_ref)
+    np.testing.assert_allclose(tots, tots_ref, rtol=1e-6)
+
+
+@pytest.mark.parametrize("mode,k", [("async", 1), ("async", 2), ("chunked", 2)])
+def test_open_seam_async_bounded(mode, k):
+    """Async/chunked disciplines on open-seam indivisible grids: finite and
+    bounded deviation (pads are refreshed clones / frozen within chunks)."""
+    from lbm_tpu.params import LBMParams
+
+    ny = 16
+    params = LBMParams(nx=16, ny=ny, max_iters=24, reynolds_dim=10,
+                       density=0.1, accel=0.005, omega=1.85)
+    mask = np.zeros((ny, 16), dtype=bool)
+    mask[5:7, 8:10] = True
+
+    single = modes.build_single_program(params, mask)
+    f_ref, _ = _run(single, steps=24)
+    with pytest.warns(UserWarning, match="stale"):
+        prog = modes.build_sharded_program(
+            params, mask, mesh_lib.make_row_mesh(3), mode=mode, staleness=k
+        )
+    step = jax.jit(prog.step)
+    st = prog.init_state
+    for _ in range(24 // k if mode == "chunked" else 24):
+        st, _ = step(st)
+    f = np.asarray(prog.f_of(st))
+    assert np.isfinite(f).all()
+    rel = np.abs(f - f_ref).max() / np.abs(f_ref).max()
+    assert rel < 2e-2 * k
+
+
+def test_open_seam_rejects_padding_swallowing_a_shard():
+    """Layouts where the pad rows would leave the last shard no real rows
+    are refused with an actionable message."""
+    from lbm_tpu.params import LBMParams
+
+    params = LBMParams(nx=16, ny=16, max_iters=4, reynolds_dim=10,
+                       density=0.1, accel=0.005, omega=1.85)
+    open_mask = np.zeros((16, 16), dtype=bool)
+    with pytest.raises(ValueError, match="fewer devices"):
         modes.build_sharded_program(
-            small_params, open_mask, mesh3, mode="sync"
+            params, open_mask, mesh_lib.make_row_mesh(5), mode="sync"
         )
 
 
