@@ -96,6 +96,12 @@ def _pick_variant(scene: Scene, config: RunConfig) -> str:
     params = scene.params
     if resident_pallas.supports(params) or fused_pallas.supports(params):
         return "pallas"
+    # Non-lane-aligned widths run the block kernel via transparent lane
+    # padding (modes._lane_padded_single_program).
+    if params.nx % 128:
+        padded = params.replace(nx=params.nx + modes.lane_pad_cols(params.nx))
+        if fused_pallas.supports(padded):
+            return "pallas"
     return "jnp"
 
 
@@ -388,8 +394,8 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
     frame_steps = None
     if frames is not None:
         frames_np = np.asarray(jax.device_get(frames), dtype=np.float32)
-        # Drop seam-padding rows (buffer is allocated at the padded extents).
-        frames_np = frames_np[:, : params.ny, :]
+        # Drop padding rows/columns (buffer is allocated at padded extents).
+        frames_np = frames_np[:, : params.ny, : params.nx]
         frame_steps = start_step + np.arange(frames_np.shape[0]) * config.frame_interval
     timer.stop("collate")
 

@@ -133,13 +133,19 @@ def _step_kernel(
     accel_row: int,
     w1a: float,
     w2a: float,
+    clone_nx: int | None = None,
 ):
     i = pl.program_id(0)
     nb = pl.num_programs(0)
     B = block_rows
     start = pl.multiple_of(i * B, B)
 
-    fluid_slab = obst_ref[0] == F32(0.0)
+    # Obstacle encoding: 0.0 fluid, 1.0 wall, 0.5 lane-padding clone column
+    # whose source column is fluid.  Clones must receive the driven-row
+    # injection exactly like their source column (their values are pulled by
+    # real edge cells), but must never contribute to tot_u; their own output
+    # is overwritten by the post-step clone refresh.
+    fluid_slab = obst_ref[0] < F32(0.75)
 
     # Driven-row mask over the ghosted rows (global index == accel_row).
     global_rows = (
@@ -172,8 +178,19 @@ def _step_kernel(
         for k in range(NS)
     ]
 
-    obst_own = jnp.logical_not(fluid_slab[1 : B + 1])
+    obst_own = obst_ref[0, 1 : B + 1] > F32(0.25)
     out_planes, partial = stencil_math.collide_and_av(streamed, obst_own, F32(omega))
+    if clone_nx is not None:
+        # Lane padding: refresh the two wrap-image clone columns in the
+        # output write itself (two lane-selects per plane).  Doing this
+        # outside the kernel costs full-array carry copies per step.
+        nx_total = out_ref.shape[2]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (B, nx_total), 1)
+        for k in range(NS):
+            o = out_planes[k]
+            o = jnp.where(lanes == clone_nx, o[:, 0:1], o)
+            o = jnp.where(lanes == nx_total - 1, o[:, clone_nx - 1 : clone_nx], o)
+            out_planes[k] = o
     for k in range(NS):
         out_ref[k] = out_planes[k]
 
@@ -198,7 +215,13 @@ def _block_obstacles(obst_ext: np.ndarray, block_rows: int) -> np.ndarray:
     return np.stack(blocks).astype(np.float32)
 
 
-def _build_call(params: LBMParams, n_rows: int, nx: int, interpret: bool):
+def _build_call(
+    params: LBMParams,
+    n_rows: int,
+    nx: int,
+    interpret: bool,
+    clone_nx: int | None = None,
+):
     """Build the pallas_call for an (n_rows, nx) shard.
 
     Returns ``call(f, ghost_lo, ghost_hi, obst_blocks, row_offset)`` where
@@ -234,6 +257,7 @@ def _build_call(params: LBMParams, n_rows: int, nx: int, interpret: bool):
         accel_row=params.accel_row,
         w1a=float(w1a),
         w2a=float(w2a),
+        clone_nx=clone_nx,
     )
 
     in_specs = [
@@ -282,8 +306,33 @@ def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
 
-def make_step(params: LBMParams, obstacles: np.ndarray, interpret: bool | None = None):
-    """Single-device step: ``f -> (f_new, tot_u)`` with periodic wrap ghosts."""
+def clone_col_encoding(obstacles: np.ndarray, nx_real: int) -> np.ndarray:
+    """Float obstacle encoding for a lane-padded (ny, nx_pad) bool mask.
+
+    The first and last pad columns are live clones of real columns 0 and
+    nx_real-1 (the periodic wrap images); mark them 0.5 where their source
+    column is fluid so they take the accel injection but stay excluded from
+    tot_u.  Walls and the junk pad columns stay 1.0.
+    """
+    enc = obstacles.astype(np.float32)
+    enc[:, nx_real] = np.where(obstacles[:, 0], np.float32(1.0), np.float32(0.5))
+    enc[:, -1] = np.where(
+        obstacles[:, nx_real - 1], np.float32(1.0), np.float32(0.5)
+    )
+    return enc
+
+
+def make_step(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    interpret: bool | None = None,
+    clone_cols_nx: int | None = None,
+):
+    """Single-device step: ``f -> (f_new, tot_u)`` with periodic wrap ghosts.
+
+    ``clone_cols_nx``: real width of a lane-padded grid; enables the clone
+    column obstacle encoding (see :func:`clone_col_encoding`).
+    """
     ny, nx = obstacles.shape
     if not supports(params):
         raise ValueError(
@@ -293,8 +342,13 @@ def make_step(params: LBMParams, obstacles: np.ndarray, interpret: bool | None =
         )
     if interpret is None:
         interpret = _use_interpret()
-    call, B, _ = _build_call(params, ny, nx, interpret)
-    obst_ext = np.concatenate([obstacles[-1:], obstacles, obstacles[:1]], axis=0)
+    call, B, _ = _build_call(params, ny, nx, interpret, clone_nx=clone_cols_nx)
+    obst_f = (
+        clone_col_encoding(obstacles, clone_cols_nx)
+        if clone_cols_nx is not None
+        else obstacles
+    )
+    obst_ext = np.concatenate([obst_f[-1:], obst_f, obst_f[:1]], axis=0)
     obst_blocks = jnp.asarray(_block_obstacles(obst_ext, B))
 
     def step(f):
@@ -304,17 +358,22 @@ def make_step(params: LBMParams, obstacles: np.ndarray, interpret: bool | None =
 
 
 def make_slab_step(
-    params: LBMParams, nloc: int, nx: int, interpret: bool | None = None
+    params: LBMParams,
+    nloc: int,
+    nx: int,
+    interpret: bool | None = None,
+    clone_cols_nx: int | None = None,
 ):
     """Sharded per-shard step: ``(slab, obst_slab, row_offset) -> (f, tot_u)``.
 
     Takes the same ghosted-slab interface as fused_jnp.fused_step_slab so the
     distributed modes can swap backends.  The obstacle slab arrives as bool
-    (nloc+2, nx).
+    (nloc+2, nx) — or float with the clone-column encoding when
+    ``clone_cols_nx`` marks a lane-padded grid.
     """
     if interpret is None:
         interpret = _use_interpret()
-    call, B, nb = _build_call(params, nloc, nx, interpret)
+    call, B, nb = _build_call(params, nloc, nx, interpret, clone_nx=clone_cols_nx)
 
     def step_slab(slab, obst_slab, row_offset):
         f = slab[:, 1:-1, :]

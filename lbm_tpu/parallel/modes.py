@@ -67,6 +67,48 @@ class StepProgram:
     global_shape: tuple[int, int] | None = None
 
 
+def lane_pad_cols(nx: int) -> int:
+    """Columns of padding needed to lane-align a grid for the Pallas kernels.
+
+    The two outermost pad columns double as live clones of the wrapped real
+    edge columns (x is periodic), so at least two are required; when the
+    natural remainder is 1, pad a full extra lane group.
+    """
+    from lbm_tpu.ops import fused_pallas
+
+    p = (-nx) % fused_pallas.LANE
+    if p == 1:
+        p += fused_pallas.LANE
+    return p
+
+
+def _pad_cols_arrays(
+    params: LBMParams, obstacles: np.ndarray, f0: np.ndarray | None, p: int
+):
+    """Blocked-column padding with clone columns at both ends.
+
+    Layout: [real cols 0..nx-1 | clone(col 0) | junk | clone(col nx-1)].
+    Cell nx-1 pulls +x from index nx (clone of col 0) and cell 0 pulls -x
+    from the last index (clone of col nx-1), so the lane rotation's wrap at
+    the padded width reproduces the true periodic wrap at nx exactly.  Pad
+    columns are obstacle-masked: they evolve as finite bounce-back garbage
+    (never read by real cells except the refreshed clones) and contribute
+    nothing to tot_u.
+    """
+    ny, nx = obstacles.shape
+    obst_p = np.concatenate([obstacles, np.ones((ny, p), dtype=bool)], axis=1)
+    f0_p = None
+    if f0 is not None:
+        f0 = np.asarray(f0, dtype=np.float32)
+        junk = np.broadcast_to(
+            lattice.equilibrium_rest(params.density, ny, 1), (9, ny, p)
+        ).copy()
+        f0_p = np.concatenate([f0, junk], axis=2)
+        f0_p[:, :, nx] = f0[:, :, 0]
+        f0_p[:, :, -1] = f0[:, :, nx - 1]
+    return obst_p, f0_p
+
+
 def _u_mag_fn(obstacles: jax.Array) -> Callable[[jax.Array], jax.Array]:
     def u_mag(f: jax.Array) -> jax.Array:
         rho = jnp.sum(f, axis=0)
@@ -85,7 +127,16 @@ def build_single_program(
     backend: str = "jnp",
 ) -> StepProgram:
     """Single-device program (periodic full grid); ``backend`` selects the
-    jnp step or the Pallas kernel."""
+    jnp step or the Pallas kernel.
+
+    Grids whose nx is not lane-aligned are transparently lane-padded for the
+    Pallas backend (blocked pad columns with per-step clone refresh of the
+    two wrap-image columns), so scenes of any width get kernel speed
+    (VERDICT r1 #10)."""
+    if backend == "pallas" and params.nx % 128:
+        prog = _lane_padded_single_program(params, obstacles, f0)
+        if prog is not None:
+            return prog
     if f0 is None:
         f0 = lattice.equilibrium_rest(params.density, params.ny, params.nx)
     obst = jnp.asarray(obstacles, dtype=bool)
@@ -149,6 +200,41 @@ def build_single_program(
     )
 
 
+def _lane_padded_single_program(
+    params: LBMParams, obstacles: np.ndarray, f0: np.ndarray | None
+) -> StepProgram | None:
+    """Wrap the Pallas single-device program in lane padding, or None if the
+    block kernel cannot map even the padded grid."""
+    from lbm_tpu.ops import fused_pallas
+
+    p = lane_pad_cols(params.nx)
+    padded = params.replace(nx=params.nx + p)
+    if not fused_pallas.supports(padded):
+        return None
+    nx = params.nx
+    obst_p, f0_p = _pad_cols_arrays(params, obstacles, f0, p)
+    if f0_p is None:
+        f0_p = lattice.equilibrium_rest(params.density, params.ny, padded.nx)
+    # The kernel refreshes the clone columns in its own output write.
+    step = fused_pallas.make_step(padded, obst_p, clone_cols_nx=nx)
+    mag = _u_mag_fn(jnp.asarray(obst_p, dtype=bool))
+    tot_cells = int(obstacles.size - np.count_nonzero(obstacles))
+    return StepProgram(
+        init_state=jnp.asarray(f0_p, dtype=jnp.float32),
+        step=step,
+        f_of=lambda f: f[:, :, :nx],
+        u_mag=lambda f: mag(f)[:, :nx],
+        tot_cells=tot_cells,
+        mesh=None,
+        variant="pallas-lanepad",
+        # The VMEM-resident whole-run path cannot interleave the clone
+        # refresh between its in-kernel steps; padded grids use the per-step
+        # block kernel.
+        make_run_all=None,
+        global_shape=(params.ny, padded.nx),
+    )
+
+
 def _extended_obstacle_slabs(obstacles: np.ndarray, num_shards: int) -> np.ndarray:
     """Per-shard obstacle slabs with one (periodically wrapped) ghost row on
     each side, shape (R, nloc+2, nx).  Static, built once at init — the
@@ -190,6 +276,18 @@ def build_sharded_program(
     ny, nx = obstacles.shape
     num_shards = mesh.shape[ROWS]
     ny_orig = ny
+    nx_orig = nx
+    pad_cols = 0
+    if backend == "pallas" and nx % 128:
+        from lbm_tpu.ops import fused_pallas
+
+        p = lane_pad_cols(nx)
+        # Feasibility gate: the narrowest legal block must fit VMEM at the
+        # padded width; otherwise leave the grid alone (jnp slab fallback).
+        if fused_pallas._kernel_footprint(8, nx + p) <= fused_pallas._VMEM_BUDGET:
+            pad_cols = p
+            obstacles, f0 = _pad_cols_arrays(params, obstacles, f0, p)
+            nx += p
     pad_rows = (-ny) % num_shards
     open_pad = 0
     if pad_rows:
@@ -245,8 +343,16 @@ def build_sharded_program(
     obst_global = jax.device_put(
         jnp.asarray(obstacles, dtype=bool), mesh_lib.mask_sharding(mesh)
     )
+    obst_for_slabs = obstacles
+    if pad_cols:
+        from lbm_tpu.ops import fused_pallas
+
+        # Clone-column encoding (0.5): accel like the source column, no av.
+        obst_for_slabs = fused_pallas.clone_col_encoding(
+            obstacles, nx - pad_cols
+        )
     obst_slabs = jax.device_put(
-        jnp.asarray(_extended_obstacle_slabs(obstacles, num_shards)),
+        jnp.asarray(_extended_obstacle_slabs(obst_for_slabs, num_shards)),
         NamedSharding(mesh, P(ROWS, None, None)),
     )
     f_init = jax.device_put(jnp.asarray(f0, dtype=jnp.float32), f_sharding)
@@ -261,7 +367,10 @@ def build_sharded_program(
         def local_slab_step(slab, obst_slab, row_offset):
             n = slab.shape[1] - 2
             if n not in _slab_steps:
-                _slab_steps[n] = fused_pallas.make_slab_step(params, n, nx)
+                _slab_steps[n] = fused_pallas.make_slab_step(
+                    params, n, nx,
+                    clone_cols_nx=nx - pad_cols if pad_cols else None,
+                )
             return _slab_steps[n](slab, obst_slab, row_offset)
 
     else:
@@ -292,17 +401,21 @@ def build_sharded_program(
         return ghost_lo, ghost_hi
 
     def refresh_pads(new_f):
-        """Open-seam padding: overwrite the last shard's pad rows with fresh
-        clones of the global first rows (the periodic wrap images).  One
-        ppermute of open_pad rows; identity when not open-padded."""
-        if not open_pad:
-            return new_f
-        recv = lax.ppermute(new_f[:, :open_pad, :], ROWS, bwd)
-        is_last = lax.axis_index(ROWS) == num_shards - 1
-        refreshed = jnp.concatenate(
-            [new_f[:, : nloc - open_pad, :], recv], axis=1
-        )
-        return jnp.where(is_last, refreshed, new_f)
+        """Refresh padding clones after a step.
+
+        Open-seam rows: overwrite the last shard's pad rows with fresh clones
+        of the global first rows (the periodic wrap images) — one ppermute of
+        open_pad rows.  (Lane-padding clone *columns* are refreshed inside
+        the Pallas kernel's output write; the exchanged rows already carry
+        them.)  Identity when unpadded."""
+        if open_pad:
+            recv = lax.ppermute(new_f[:, :open_pad, :], ROWS, bwd)
+            is_last = lax.axis_index(ROWS) == num_shards - 1
+            refreshed = jnp.concatenate(
+                [new_f[:, : nloc - open_pad, :], recv], axis=1
+            )
+            new_f = jnp.where(is_last, refreshed, new_f)
+        return new_f
 
     def shard_row_offset():
         return lax.axis_index(ROWS) * nloc
@@ -365,7 +478,7 @@ def build_sharded_program(
         new_f, tot_u = local_slab_step(slab, obst_slab, shard_row_offset())
         return (refresh_pads(new_f), q_lo, q_hi), tot_u
 
-    if backend == "pallas" and mode == "chunked" and not open_pad:
+    if backend == "pallas" and mode == "chunked" and not open_pad and not pad_cols:
         from lbm_tpu.ops import resident_pallas
 
         if resident_pallas.supports_shard(nloc, nx):
@@ -498,13 +611,13 @@ def build_sharded_program(
     mag_local = _u_mag_fn(obst_global)
     f_of_padded = f_of
 
-    if pad_rows:
-        # External views (final state, frames) drop the seam padding rows.
+    if pad_rows or pad_cols:
+        # External views (final state, frames) drop the padding rows/columns.
         def f_of(state):  # noqa: F811 — deliberately shadows the padded view
-            return f_of_padded(state)[:, :ny_orig, :]
+            return f_of_padded(state)[:, :ny_orig, :nx_orig]
 
         def u_mag(state):
-            return mag_local(f_of_padded(state))[:ny_orig, :]
+            return mag_local(f_of_padded(state))[:ny_orig, :nx_orig]
 
     else:
 

@@ -150,3 +150,70 @@ def test_footprint_model_monotone():
     assert fused_pallas.pick_block_rows(1024, 1024) == 64
     assert fused_pallas.pick_block_rows(2048, 2048) <= 16
     assert fused_pallas.pick_block_rows(4096, 4096) == 8
+
+
+class TestLanePadding:
+    """VERDICT r1 #10: grids with nx % 128 != 0 run on the Pallas path via
+    transparent lane padding (blocked pad columns; the two outermost are
+    live clones of the wrapped edge columns, refreshed each step and
+    encoded 0.5 so they take the driven-row injection without entering
+    tot_u)."""
+
+    def _params(self, ny=100, nx=100, iters=30):
+        from lbm_tpu.params import LBMParams
+
+        return LBMParams(nx=nx, ny=ny, max_iters=iters, reynolds_dim=10,
+                         density=0.1, accel=0.005, omega=1.85)
+
+    @pytest.mark.parametrize("walled_x", [True, False])
+    def test_single_device_matches_jnp(self, walled_x):
+        from lbm_tpu.parallel import modes
+
+        params = self._params()
+        mask = np.zeros((100, 100), dtype=bool)
+        mask[0, :] = mask[-1, :] = True
+        if walled_x:
+            mask[:, 0] = mask[:, -1] = True
+        pj = modes.build_single_program(params, mask, backend="jnp")
+        pp = modes.build_single_program(params, mask, backend="pallas")
+        assert pp.variant == "pallas-lanepad"
+        sj, sp = pj.init_state, pp.init_state
+        stj, stp = jax.jit(pj.step), jax.jit(pp.step)
+        for _ in range(30):
+            sj, tj = stj(sj)
+            sp, tp = stp(sp)
+        fj = np.asarray(pj.f_of(sj))
+        fp = np.asarray(pp.f_of(sp))
+        assert fp.shape == (9, 100, 100)
+        np.testing.assert_allclose(fp, fj, atol=5e-8)
+        np.testing.assert_allclose(float(tp), float(tj), rtol=1e-5)
+
+    @pytest.mark.parametrize("mode", ["sync", "overlap", "async"])
+    def test_sharded_matches_jnp_backend(self, mode):
+        from lbm_tpu.parallel import mesh as mesh_lib
+        from lbm_tpu.parallel import modes
+
+        params = self._params()
+        mask = np.zeros((100, 100), dtype=bool)
+        mask[0, :] = mask[-1, :] = True  # open x seam
+        mesh2 = mesh_lib.make_row_mesh(2)
+        pj = modes.build_sharded_program(params, mask, mesh2, mode=mode, backend="jnp")
+        pp = modes.build_sharded_program(params, mask, mesh2, mode=mode, backend="pallas")
+        sj, sp = pj.init_state, pp.init_state
+        stj, stp = jax.jit(pj.step), jax.jit(pp.step)
+        for _ in range(10):
+            sj, _ = stj(sj)
+            sp, _ = stp(sp)
+        fj = np.asarray(pj.f_of(sj))
+        fp = np.asarray(pp.f_of(sp))
+        assert fp.shape == (9, 100, 100)
+        np.testing.assert_allclose(fp, fj, atol=5e-8)
+
+    def test_auto_picks_pallas_for_unaligned_width(self):
+        from lbm_tpu.io.scene import Scene
+        from lbm_tpu.models.driver import RunConfig, _pick_variant
+
+        params = self._params()
+        mask = np.zeros((100, 100), dtype=bool)
+        scene = Scene(params=params, obstacles=mask)
+        assert _pick_variant(scene, RunConfig(variant="auto")) == "pallas"
