@@ -85,6 +85,20 @@ def _pick_variant(scene: Scene, config: RunConfig) -> str:
     variant = resolve_variant(config.variant)
     if variant != "auto":
         return variant
+    # Multi-device auto: use the mesh — the reference's default IS the
+    # parallel binary (MPI/d2q9-bgk.c:130-331).  The stale-fraction model
+    # (BENCHMARKS.md: 1.6% stale rows -> ~0.15% deviation, 3% -> ~0.5%)
+    # picks the fast async discipline when its deviation stays comfortably
+    # inside the reference's 1% contract; otherwise the bitwise-exact
+    # comm/compute-overlap discipline.
+    n_dev = (
+        config.num_devices
+        if config.num_devices is not None
+        else jax.device_count()
+    )
+    if n_dev > 1:
+        stale_fraction = 2.0 * n_dev / scene.params.ny
+        return "async" if stale_fraction <= 0.03 else "overlap"
     # Auto policy (single chip), from measured v5e numbers:
     # - VMEM-resident Pallas kernel when the whole grid fits on-chip
     #   (12-24k MLUPS on the reference's small grids);
@@ -131,7 +145,7 @@ def build_program(
             mode=mode,
             staleness=staleness,
             f0=f0,
-            backend=config.backend or "jnp",
+            backend=config.backend,  # None -> fast (pallas) when mappable
         )
     raise ValueError(f"variant {variant!r} has no program builder")
 

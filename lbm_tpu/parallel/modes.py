@@ -60,6 +60,8 @@ class StepProgram:
     # Timesteps advanced per step() call; >1 for the chunked-async mode
     # (step then returns a (steps_per_call,) tot_u vector).
     steps_per_call: int = 1
+    # Compute backend actually selected ("jnp" / "pallas"); informational.
+    backend: str | None = None
     # Global grid extents of the *internal* (possibly seam-padded) state;
     # on-device buffers indexed like the grid (e.g. frame captures) must use
     # this shape so their sharding divides evenly.  f_of/u_mag still return
@@ -197,7 +199,29 @@ def build_single_program(
         variant=variant,
         make_run_all=make_run_all,
         global_shape=(params.ny, params.nx),
+        backend=backend,
     )
+
+
+def sharded_pallas_supported(ny: int, nx: int, num_shards: int) -> bool:
+    """Whether the Pallas slab kernel can map this sharded layout (after
+    lane/row padding).  Used to pick the fast backend by default."""
+    from lbm_tpu.ops import fused_pallas
+
+    if nx % fused_pallas.LANE:
+        p = lane_pad_cols(nx)
+        if fused_pallas._kernel_footprint(8, nx + p) > fused_pallas._VMEM_BUDGET:
+            return False
+        nx += p
+    ny_pad = ny + ((-ny) % num_shards)
+    nloc = ny_pad // num_shards
+    if nloc < 2:
+        return False
+    try:
+        fused_pallas.pick_block_rows(nloc, nx)
+    except ValueError:
+        return False
+    return True
 
 
 def _lane_padded_single_program(
@@ -232,6 +256,7 @@ def _lane_padded_single_program(
         # block kernel.
         make_run_all=None,
         global_shape=(params.ny, padded.nx),
+        backend="pallas",
     )
 
 
@@ -257,7 +282,7 @@ def build_sharded_program(
     mode: str = "sync",
     staleness: int = 1,
     f0: np.ndarray | None = None,
-    backend: str = "jnp",
+    backend: str | None = None,
 ) -> StepProgram:
     """Row-sharded step program over ``mesh`` in one of the three disciplines.
 
@@ -271,10 +296,17 @@ def build_sharded_program(
         grows 1..k within a chunk), amortizing collective latency k-fold.
       staleness: halo age in steps for async mode (k >= 1); chunk length for
         chunked mode.
-      backend: "jnp" or "pallas" for the per-shard slab compute.
+      backend: "jnp" or "pallas" for the per-shard slab compute; None picks
+        the Pallas kernel whenever it can map the (padded) shard layout —
+        the fast path is the default, like the reference whose default
+        binary IS the optimized parallel build (MPI/d2q9-bgk.c:130-331).
     """
     ny, nx = obstacles.shape
     num_shards = mesh.shape[ROWS]
+    if backend is None:
+        backend = (
+            "pallas" if sharded_pallas_supported(ny, nx, num_shards) else "jnp"
+        )
     ny_orig = ny
     nx_orig = nx
     pad_cols = 0
@@ -635,4 +667,5 @@ def build_sharded_program(
         + (f"-{staleness}" if mode in ("async", "chunked") and staleness > 1 else ""),
         steps_per_call=staleness if mode == "chunked" else 1,
         global_shape=(ny, nx),
+        backend=backend,
     )

@@ -95,7 +95,7 @@ def test_resident_pallas_prefix_parity():
 def test_full_run_av_vels_parity(grid):
     """Full-length golden comparison (slow; run with -m slow or on TPU)."""
     scene = _scene(grid)
-    res = run_simulation(scene, RunConfig(variant="auto"))
+    res = run_simulation(scene, RunConfig(variant="auto", num_devices=1))
     diff = compare_series(_golden_av(grid), res.av_vels)
     assert abs(diff.max_diff_pcnt) < 1.0, diff
 
@@ -148,7 +148,7 @@ def test_full_256_run_matches_regenerated_final_state():
     from lbm_tpu.io import write_final_state
 
     scene = _scene("256x256")
-    res = run_simulation(scene, RunConfig(variant="auto"))
+    res = run_simulation(scene, RunConfig(variant="auto", num_devices=1))
     import tempfile, os
 
     with tempfile.TemporaryDirectory() as td:

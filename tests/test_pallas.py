@@ -141,7 +141,7 @@ def test_wide_grid_fallback():
     with pytest.raises(ValueError, match="VMEM"):
         fused_pallas.pick_block_rows(wide.ny, wide.nx)
     sc = Scene(params=wide, obstacles=np.zeros((wide.ny, wide.nx), dtype=bool))
-    assert _pick_variant(sc, RunConfig()) == "jnp"
+    assert _pick_variant(sc, RunConfig(num_devices=1)) == "jnp"
 
 
 def test_footprint_model_monotone():
@@ -216,4 +216,5 @@ class TestLanePadding:
         params = self._params()
         mask = np.zeros((100, 100), dtype=bool)
         scene = Scene(params=params, obstacles=mask)
-        assert _pick_variant(scene, RunConfig(variant="auto")) == "pallas"
+        cfg = RunConfig(variant="auto", num_devices=1)
+        assert _pick_variant(scene, cfg) == "pallas"
