@@ -372,9 +372,6 @@ def build_sharded_program(
     fwd, bwd = mesh_lib.ring_perms(num_shards)
 
     f_sharding = mesh_lib.row_sharding(mesh)
-    obst_global = jax.device_put(
-        jnp.asarray(obstacles, dtype=bool), mesh_lib.mask_sharding(mesh)
-    )
     obst_for_slabs = obstacles
     if pad_cols:
         from lbm_tpu.ops import fused_pallas
@@ -383,10 +380,20 @@ def build_sharded_program(
         obst_for_slabs = fused_pallas.clone_col_encoding(
             obstacles, nx - pad_cols
         )
-    obst_slabs = jax.device_put(
-        jnp.asarray(_extended_obstacle_slabs(obst_for_slabs, num_shards)),
-        NamedSharding(mesh, P(ROWS, None, None)),
-    )
+    slabs_host = _extended_obstacle_slabs(obst_for_slabs, num_shards)
+    if jax.process_count() > 1:
+        # Multi-controller: jitted functions may not close over arrays that
+        # span non-addressable devices.  Keep the static obstacle data as
+        # host constants; GSPMD shards them per the shard_map in_specs.
+        obst_global = np.asarray(obstacles)
+        obst_slabs = np.asarray(slabs_host)
+    else:
+        obst_global = jax.device_put(
+            jnp.asarray(obstacles, dtype=bool), mesh_lib.mask_sharding(mesh)
+        )
+        obst_slabs = jax.device_put(
+            jnp.asarray(slabs_host), NamedSharding(mesh, P(ROWS, None, None))
+        )
     f_init = jax.device_put(jnp.asarray(f0, dtype=jnp.float32), f_sharding)
 
     if backend == "pallas":

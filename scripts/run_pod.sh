@@ -9,9 +9,25 @@
 # then spans all chips in the slice and halo ppermutes ride ICI.
 #
 # Usage: scripts/run_pod.sh <input.params> <obstacles.dat> [extra run flags]
+#        scripts/run_pod.sh --dryrun   # 2-process local CPU validation
 set -euo pipefail
 cd "$(dirname "$0")/.."
 source scripts/env.sh
+
+if [ "${1:-}" = "--dryrun" ]; then
+    # Validate the multi-process path locally: 2 CPU processes x 4 virtual
+    # devices, sync discipline, bitwise vs single-device (tools/dist_smoke).
+    PORT=$(( (RANDOM % 10000) + 20000 ))
+    python -m lbm_tpu.tools.dist_smoke --process-id 0 --num-processes 2 \
+        --coordinator "127.0.0.1:$PORT" &
+    P0=$!
+    python -m lbm_tpu.tools.dist_smoke --process-id 1 --num-processes 2 \
+        --coordinator "127.0.0.1:$PORT" &
+    P1=$!
+    wait $P0 && wait $P1
+    echo "pod dryrun: both processes passed"
+    exit 0
+fi
 
 PARAMS=${1:?usage: run_pod.sh <input.params> <obstacles.dat> [flags]}
 OBSTACLES=${2:?usage: run_pod.sh <input.params> <obstacles.dat> [flags]}
