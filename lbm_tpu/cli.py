@@ -50,6 +50,14 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax profiler trace of the compute phase")
     p.add_argument(
+        "--divergence",
+        action="store_true",
+        help="run sync and async side by side and emit the per-step "
+        "deviation curve (divergence.csv/.png in --out-dir) instead of a "
+        "normal run — quantifies the stale-halo accuracy trade the "
+        "reference README claims (README.md:9-13)",
+    )
+    p.add_argument(
         "--debug",
         action="store_true",
         help="print per-step av velocity and total density (the reference's "
@@ -88,6 +96,28 @@ def cmd_run(args: argparse.Namespace) -> int:
 
     _apply_platform(args.platform, args.host_devices)
     scene = load_scene(args.paramfile, args.obstaclefile)
+    if args.divergence:
+        from lbm_tpu.tools.divergence import run_divergence, write_csv, write_plot
+
+        res = run_divergence(
+            scene,
+            num_devices=args.devices,
+            staleness=args.staleness if args.staleness is not None else 1,
+            num_steps=args.steps,
+            backend=args.backend or "jnp",
+        )
+        os.makedirs(args.out_dir, exist_ok=True)
+        csv_path = os.path.join(args.out_dir, "divergence.csv")
+        write_csv(csv_path, res)
+        print(res.summary())
+        print(f"wrote {csv_path}")
+        try:
+            png_path = os.path.join(args.out_dir, "divergence.png")
+            write_plot(png_path, res)
+            print(f"wrote {png_path}")
+        except ImportError:
+            pass
+        return 0
     config = RunConfig(
         variant=args.variant,
         num_devices=args.devices,
@@ -111,6 +141,7 @@ def cmd_run(args: argparse.Namespace) -> int:
     result = run_simulation(scene, config)
 
     print("==done==")
+    print(f"Variant:\t\t\t{result.variant}")
     print("Reynolds number:\t\t%.12E" % result.reynolds)
     print(result.timer.report())
     print("Compute rate:\t\t\t%.1f MLUPS" % result.mlups)

@@ -156,3 +156,30 @@ def test_check_reports_max_diff_coordinate(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "(at coord (2,1))" in out
     assert rc == 1  # 50% diff fails the 1% tolerance
+
+
+def test_divergence_probe(tmp_path, small_params, small_obstacles):
+    """VERDICT r1 #9: the sync-vs-async divergence probe emits a per-step
+    deviation curve; step 0 is exact (fresh init exchange) and later steps
+    deviate but stay bounded."""
+    from lbm_tpu.io.scene import Scene
+    from lbm_tpu.tools import divergence
+
+    scene = Scene(
+        params=small_params.replace(max_iters=20), obstacles=small_obstacles
+    )
+    res = divergence.run_divergence(scene, num_devices=2, staleness=1)
+    assert len(res.av_sync) == 20
+    assert res.field_rel_linf[0] == 0.0  # first exchange is fresh
+    assert res.field_rel_linf[-1] > 0.0  # stale halos do deviate
+    assert np.isfinite(res.field_rel_linf).all()
+    assert np.nanmax(res.av_rel_pct) < 5.0
+
+    csv = tmp_path / "divergence.csv"
+    divergence.write_csv(csv, res)
+    lines = csv.read_text().splitlines()
+    assert lines[0].startswith("step,av_sync")
+    assert len(lines) == 21
+    png = tmp_path / "divergence.png"
+    divergence.write_plot(png, res)
+    assert png.stat().st_size > 0
