@@ -56,6 +56,13 @@ LANE = 128
 _VMEM_BUDGET = int(15.2 * 1024 * 1024)
 
 
+def _obst_block_rows(b: int) -> int:
+    """Rows of an obstacle block: body (b) + lo/hi ghost rows, padded to the
+    sublane multiple so the body slice [0:b] stays tile-aligned (the aligned
+    layout is worth ~1.3x kernel time vs slicing a (b+2)-row block)."""
+    return ((b + 2 + 7) // 8) * 8
+
+
 def _kernel_footprint(b: int, nx: int) -> int:
     """Estimated scoped-VMEM bytes at block height ``b``.
 
@@ -64,7 +71,12 @@ def _kernel_footprint(b: int, nx: int) -> int:
     ghost-group buffers, and the obstacle block.  Matches the measured
     pass/fail boundary at nx = 1024/2048/4096.
     """
-    return 4 * (6 * NS * b * nx + 2 * NS * 8 * nx + 2 * NS * nx + 2 * (b + 2) * nx)
+    return 4 * (
+        6 * NS * b * nx
+        + 2 * NS * 8 * nx
+        + 2 * NS * nx
+        + 2 * _obst_block_rows(b) * nx
+    )
 
 
 def supports(params: LBMParams) -> bool:
@@ -121,7 +133,11 @@ def _step_kernel(
     #            upper ghost row (garbage wrap rows at i == nb-1)
     lo_ref,  # (9, 1, nx) VMEM: external halo below the shard (used at i == 0)
     hi_ref,  # (9, 1, nx) VMEM: external halo above the shard (i == nb-1)
-    obst_ref,  # (1, B+2, nx) VMEM: ghosted obstacle rows (1.0 = blocked)
+    obst_ref,  # (1, P, nx) VMEM: aligned obstacle block — rows [0,B) body,
+    # row B = lo ghost, row B+1 = hi ghost, rest sublane padding.  The
+    # aligned layout keeps every (B, nx) mask read tile-aligned; slicing a
+    # ghosted (B+2, nx) block instead costs ~1.3x total kernel time in
+    # Mosaic relayouts (measured 76 -> 59 us/step at 1024^2).
     out_ref,  # (9, B, nx) VMEM
     sum_ref,  # (1, 1) f32, SMEM: |u| accumulator across blocks
     prev_ref,  # (9, 1, nx) VMEM scratch: previous block's last body row —
@@ -139,22 +155,26 @@ def _step_kernel(
     nb = pl.num_programs(0)
     B = block_rows
     start = pl.multiple_of(i * B, B)
+    row_off = row_off_ref[0, 0]
 
     # Obstacle encoding: 0.0 fluid, 1.0 wall, 0.5 lane-padding clone column
     # whose source column is fluid.  Clones must receive the driven-row
     # injection exactly like their source column (their values are pulled by
     # real edge cells), but must never contribute to tot_u; their own output
-    # is overwritten by the post-step clone refresh.
-    fluid_slab = obst_ref[0] < F32(0.75)
-
-    # Driven-row mask over the ghosted rows (global index == accel_row).
-    global_rows = (
-        row_off_ref[0, 0]
-        + start
-        - 1
-        + jax.lax.broadcasted_iota(jnp.int32, (B + 2, 1), 0)
+    # is overwritten by the in-kernel clone refresh.
+    #
+    # The driven-row injection is applied to the aligned (B, nx) body planes
+    # and separately to the two single ghost rows — never to a concatenated
+    # (B+2, nx) buffer, whose misaligned downstream slices would force Mosaic
+    # relayouts on every op (measured 91 -> 76 us/step at 1024^2).
+    fluid_body = obst_ref[0, 0:B, :] < F32(0.75)
+    row_mask_body = (
+        row_off + start + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    ) == accel_row
+    body = [f_ref[k] for k in range(NS)]
+    body = stencil_math.accel_planes(
+        body, fluid_body, row_mask_body, F32(w1a), F32(w2a)
     )
-    row_mask = global_rows == accel_row
 
     # Lower ghost: carried in scratch from the previous grid step (grid steps
     # are sequential on a TPU core).  Upper ghost: fetched by the pipeline as
@@ -162,23 +182,34 @@ def _step_kernel(
     # take the external halo rows instead.
     at_lo_edge = i == 0
     at_hi_edge = i == nb - 1
-    planes = []
-    for k in range(NS):
-        glo_k = jnp.where(at_lo_edge, lo_ref[k, 0], prev_ref[k, 0])[None]
-        ghi_k = jnp.where(at_hi_edge, hi_ref[k, 0], ghi8_ref[k, 0])[None]
-        planes.append(jnp.concatenate([glo_k, f_ref[k], ghi_k], axis=0))
+    glo = [jnp.where(at_lo_edge, lo_ref[k, 0], prev_ref[k, 0])[None] for k in range(NS)]
+    ghi = [jnp.where(at_hi_edge, hi_ref[k, 0], ghi8_ref[k, 0])[None] for k in range(NS)]
+    fluid_lo = obst_ref[0, B : B + 1, :] < F32(0.75)
+    fluid_hi = obst_ref[0, B + 1 : B + 2, :] < F32(0.75)
+    glo = stencil_math.accel_planes(
+        glo, fluid_lo, (row_off + start - 1) == accel_row, F32(w1a), F32(w2a)
+    )
+    ghi = stencil_math.accel_planes(
+        ghi, fluid_hi, (row_off + start + B) == accel_row, F32(w1a), F32(w2a)
+    )
+
     # Leave this block's last body row for the next block's lower ghost.
     for k in range(NS):
         prev_ref[k, 0] = f_ref[k, B - 1]
-    planes = stencil_math.accel_planes(planes, fluid_slab, row_mask, F32(w1a), F32(w2a))
 
-    # Pull streaming: y from the ghosted rows, x by lane rotation.
-    streamed = [
-        _roll_x(planes[k][1 - lattice.CY[k] : 1 - lattice.CY[k] + B, :], lattice.CX[k])
-        for k in range(NS)
-    ]
+    # Pull streaming: y via one aligned concat per plane, x by lane rotation.
+    streamed = []
+    for k in range(NS):
+        cy = lattice.CY[k]
+        if cy == 1:
+            rows = jnp.concatenate([glo[k], body[k][: B - 1]], axis=0)
+        elif cy == -1:
+            rows = jnp.concatenate([body[k][1:], ghi[k]], axis=0)
+        else:
+            rows = body[k]
+        streamed.append(_roll_x(rows, lattice.CX[k]))
 
-    obst_own = obst_ref[0, 1 : B + 1] > F32(0.25)
+    obst_own = obst_ref[0, 0:B] > F32(0.25)
     out_planes, partial = stencil_math.collide_and_av(streamed, obst_own, F32(omega))
     if clone_nx is not None:
         # Lane padding: refresh the two wrap-image clone columns in the
@@ -207,12 +238,20 @@ def _step_kernel(
 
 
 def _block_obstacles(obst_ext: np.ndarray, block_rows: int) -> np.ndarray:
-    """Rearrange a ghost-extended (n+2, nx) mask into per-block ghosted rows
-    (nb, B+2, nx) float32 so each grid step streams one contiguous block."""
-    n = obst_ext.shape[0] - 2
-    nb = n // block_rows
-    blocks = [obst_ext[i * block_rows : i * block_rows + block_rows + 2] for i in range(nb)]
-    return np.stack(blocks).astype(np.float32)
+    """Rearrange a ghost-extended (n+2, nx) mask into per-block ALIGNED
+    blocks (nb, P, nx) float32: rows [0, B) body, row B the lower ghost,
+    row B+1 the upper ghost, remaining rows sublane padding — so the body
+    mask reads stay tile-aligned in the kernel."""
+    n, nx = obst_ext.shape[0] - 2, obst_ext.shape[1]
+    B = block_rows
+    nb = n // B
+    P = _obst_block_rows(B)
+    out = np.zeros((nb, P, nx), dtype=np.float32)
+    for i in range(nb):
+        out[i, 0:B] = obst_ext[1 + i * B : 1 + (i + 1) * B]
+        out[i, B] = obst_ext[i * B]  # lower ghost row
+        out[i, B + 1] = obst_ext[1 + (i + 1) * B]  # upper ghost row
+    return out
 
 
 def _build_call(
@@ -266,7 +305,11 @@ def _build_call(
             ghi8_spec,  # f again: upper-ghost 8-row group
             pl.BlockSpec(memory_space=pltpu.VMEM),  # external halo below (9,1,nx)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # external halo above (9,1,nx)
-            pl.BlockSpec((1, B + 2, nx), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (1, _obst_block_rows(B), nx),
+                lambda i: (i, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
     ]
     out_specs = (
         pl.BlockSpec((NS, B, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
@@ -375,13 +418,27 @@ def make_slab_step(
         interpret = _use_interpret()
     call, B, nb = _build_call(params, nloc, nx, interpret, clone_nx=clone_cols_nx)
 
+    P = _obst_block_rows(B)
+
     def step_slab(slab, obst_slab, row_offset):
         f = slab[:, 1:-1, :]
         ghost_lo = slab[:, :1, :]
         ghost_hi = slab[:, -1:, :]
         obst_f = obst_slab.astype(jnp.float32)
+        pad = jnp.zeros((P - B - 2, obst_f.shape[1]), dtype=jnp.float32)
         obst_blocks = jnp.stack(
-            [obst_f[i * B : i * B + B + 2] for i in range(nb)]
+            [
+                jnp.concatenate(
+                    [
+                        obst_f[1 + i * B : 1 + (i + 1) * B],  # body
+                        obst_f[i * B : i * B + 1],  # lower ghost
+                        obst_f[1 + (i + 1) * B : 2 + (i + 1) * B],  # upper
+                        pad,
+                    ],
+                    axis=0,
+                )
+                for i in range(nb)
+            ]
         )
         return call(f, ghost_lo, ghost_hi, obst_blocks, row_offset)
 
