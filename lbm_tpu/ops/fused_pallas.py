@@ -51,32 +51,55 @@ NS = lattice.NSPEEDS
 
 # Lane (x) dimension must be a multiple of the TPU lane width.
 LANE = 128
+# Wide grids are FOLDED to this lane width: a row-major (ny, F*1024) grid is
+# bit-identical in memory to (ny*F, 1024), and Mosaic's per-cell cost
+# degrades badly past 1024 lanes (measured 56 ps/cell at nx=1024 vs 240+ at
+# nx=2048).  Folding is a pure reinterpretation — no ghost columns, no data
+# movement; only the x-wrap lane must be borrowed from the fold-group
+# neighbor row (see _fold_roll_x).
+FOLD_W = 1024
 # Scoped-VMEM budget for the whole pipelined kernel (bytes), with margin
 # under the 16 MiB hardware limit.
 _VMEM_BUDGET = int(15.2 * 1024 * 1024)
 
 
-def _obst_block_rows(b: int) -> int:
-    """Rows of an obstacle block: body (b) + lo/hi ghost rows, padded to the
-    sublane multiple so the body slice [0:b] stays tile-aligned (the aligned
-    layout is worth ~1.3x kernel time vs slicing a (b+2)-row block)."""
-    return ((b + 2 + 7) // 8) * 8
+def _fold_factor(nx: int) -> int:
+    if nx > FOLD_W and nx % FOLD_W == 0:
+        return nx // FOLD_W
+    return 1
 
 
-def _kernel_footprint(b: int, nx: int) -> int:
-    """Estimated scoped-VMEM bytes at block height ``b``.
+def _obst_block_rows(b: int, fold: int = 1) -> int:
+    """Rows of an obstacle block: body (b) + fold lo/hi ghost rows each,
+    padded to the sublane multiple so the body slice [0:b] stays
+    tile-aligned (the aligned layout is worth ~1.3x kernel time vs slicing
+    a ghosted block)."""
+    return ((b + 2 * fold + 7) // 8) * 8
+
+
+def _kernel_footprint(b: int, nx: int, fold: int = 1) -> int:
+    """Estimated scoped-VMEM bytes at (view) block height ``b``.
 
     Calibrated against observed Mosaic stack allocations on v5e: ~6 live
-    (NS, b, nx) buffers (double-buffered in/out + temporaries), the four
-    ghost-group buffers, and the obstacle block.  Matches the measured
-    pass/fail boundary at nx = 1024/2048/4096.
+    (NS, b, nx) buffers (double-buffered in/out + temporaries), the ghost
+    group buffers, and the obstacle block.  Matches the measured pass/fail
+    boundary at nx = 1024/2048/4096.
     """
+    g = max(8, fold)
     return 4 * (
         6 * NS * b * nx
-        + 2 * NS * 8 * nx
-        + 2 * NS * nx
-        + 2 * _obst_block_rows(b) * nx
+        + 2 * NS * g * nx
+        + 2 * NS * fold * nx
+        + 2 * _obst_block_rows(b, fold) * nx
     )
+
+
+def _plan(n_rows: int, nx: int, clone_nx: int | None = None):
+    """Choose (fold, rows_view, nx_view, block_rows) for a shard; raises
+    ValueError when no layout fits VMEM."""
+    fold = 1 if clone_nx is not None else _fold_factor(nx)
+    rows_v, nx_v = n_rows * fold, nx // fold
+    return fold, rows_v, nx_v, pick_block_rows(rows_v, nx_v, fold)
 
 
 def supports(params: LBMParams) -> bool:
@@ -84,25 +107,26 @@ def supports(params: LBMParams) -> bool:
     if params.nx % LANE != 0 or params.ny < 8:
         return False
     try:
-        pick_block_rows(params.ny, params.nx)
+        _plan(params.ny, params.nx)
     except ValueError:
         return False
     return True
 
 
-def pick_block_rows(n_rows: int, nx: int) -> int:
+def pick_block_rows(n_rows: int, nx: int, fold: int = 1) -> int:
     """Largest divisor of n_rows whose block fits the VMEM budget.
 
-    Blocks must stay sublane-aligned (multiple of 8) unless one block covers
-    the whole shard.
+    Blocks must stay sublane-aligned and fold-group-aligned (multiple of
+    max(8, fold)) unless one block covers the whole shard.
     """
+    align = max(8, fold)
     best = None
     for b in range(1, n_rows + 1):
         if n_rows % b:
             continue
-        if b % 8 and b != n_rows:
+        if b % align and b != n_rows:
             continue
-        if _kernel_footprint(b, nx) <= _VMEM_BUDGET:
+        if _kernel_footprint(b, nx, fold) <= _VMEM_BUDGET:
             best = b
         else:
             break
@@ -115,15 +139,52 @@ def pick_block_rows(n_rows: int, nx: int) -> int:
     return best
 
 
-def _roll_x(x: jax.Array, shift: int) -> jax.Array:
-    """Periodic lane shift: out[..., i] = x[..., i - shift] (static shift)."""
+def _fold_roll_x(rows: jax.Array, shift: int, fold: int) -> jax.Array:
+    """Periodic x lane shift on a folded view (static shift).
+
+    In the folded layout an original row occupies ``fold`` consecutive view
+    rows; the lane wrapping out of view row (r, s) re-enters at view row
+    (r, s -/+ 1 mod fold) — so the borrowed edge lane is the fold-group-
+    rolled edge column.  At fold == 1 this degenerates to the plain
+    periodic lane rotation.
+    """
     if shift == 0:
-        return x
+        return rows
+    F = fold
     if shift == 1:
-        return jnp.concatenate([x[:, -1:], x[:, :-1]], axis=1)
+        edge = rows[:, -1:]
+        if F > 1:
+            edge = _group_roll(edge, F, +1)
+        return jnp.concatenate([edge, rows[:, :-1]], axis=1)
     if shift == -1:
-        return jnp.concatenate([x[:, 1:], x[:, :1]], axis=1)
+        edge = rows[:, :1]
+        if F > 1:
+            edge = _group_roll(edge, F, -1)
+        return jnp.concatenate([rows[:, 1:], edge], axis=1)
     raise ValueError(shift)
+
+
+def _group_roll(col: jax.Array, F: int, direction: int) -> jax.Array:
+    """Intra-group sublane roll of a (B, 1) column (groups of F rows).
+
+    Expressed as a global sublane roll with a masked fix at group
+    boundaries — Mosaic cannot shape-cast (B//F, F) <-> (B, 1), and both
+    rolls are cheap concats on a single-lane column.
+    """
+    n = col.shape[0]
+    sub = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0) % F
+    if direction == +1:
+        rolled = jnp.concatenate([col[-1:], col[:-1]], axis=0)
+        wrap = jnp.concatenate([col[F - 1 :], col[: F - 1]], axis=0)
+        return jnp.where(sub == 0, wrap, rolled)
+    rolled = jnp.concatenate([col[1:], col[:1]], axis=0)
+    wrap = jnp.concatenate([col[-(F - 1) :], col[: -(F - 1)]], axis=0)
+    return jnp.where(sub == F - 1, wrap, rolled)
+
+
+# Backwards-compatible alias (fold == 1).
+def _roll_x(x: jax.Array, shift: int) -> jax.Array:
+    return _fold_roll_x(x, shift, 1)
 
 
 def _step_kernel(
@@ -150,10 +211,12 @@ def _step_kernel(
     w1a: float,
     w2a: float,
     clone_nx: int | None = None,
+    fold: int = 1,
 ):
     i = pl.program_id(0)
     nb = pl.num_programs(0)
     B = block_rows
+    F = fold
     start = pl.multiple_of(i * B, B)
     row_off = row_off_ref[0, 0]
 
@@ -168,9 +231,9 @@ def _step_kernel(
     # (B+2, nx) buffer, whose misaligned downstream slices would force Mosaic
     # relayouts on every op (measured 91 -> 76 us/step at 1024^2).
     fluid_body = obst_ref[0, 0:B, :] < F32(0.75)
-    row_mask_body = (
-        row_off + start + jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
-    ) == accel_row
+    # Original-grid row of a view row: row_off + (start + v) // fold.
+    view_iota = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
+    row_mask_body = (row_off + (start + view_iota) // F) == accel_row
     body = [f_ref[k] for k in range(NS)]
     body = stencil_math.accel_planes(
         body, fluid_body, row_mask_body, F32(w1a), F32(w2a)
@@ -178,36 +241,38 @@ def _step_kernel(
 
     # Lower ghost: carried in scratch from the previous grid step (grid steps
     # are sequential on a TPU core).  Upper ghost: fetched by the pipeline as
-    # an aligned 8-row block of f via a modular index map.  Shard-edge blocks
-    # take the external halo rows instead.
+    # an aligned ghost-group block of f via a modular index map.  Shard-edge
+    # blocks take the external halo rows instead.  Each ghost is one
+    # original row = ``fold`` view rows.
     at_lo_edge = i == 0
     at_hi_edge = i == nb - 1
-    glo = [jnp.where(at_lo_edge, lo_ref[k, 0], prev_ref[k, 0])[None] for k in range(NS)]
-    ghi = [jnp.where(at_hi_edge, hi_ref[k, 0], ghi8_ref[k, 0])[None] for k in range(NS)]
-    fluid_lo = obst_ref[0, B : B + 1, :] < F32(0.75)
-    fluid_hi = obst_ref[0, B + 1 : B + 2, :] < F32(0.75)
+    glo = [jnp.where(at_lo_edge, lo_ref[k], prev_ref[k]) for k in range(NS)]
+    ghi = [jnp.where(at_hi_edge, hi_ref[k], ghi8_ref[k, 0:F]) for k in range(NS)]
+    fluid_lo = obst_ref[0, B : B + F, :] < F32(0.75)
+    fluid_hi = obst_ref[0, B + F : B + 2 * F, :] < F32(0.75)
     glo = stencil_math.accel_planes(
-        glo, fluid_lo, (row_off + start - 1) == accel_row, F32(w1a), F32(w2a)
+        glo, fluid_lo, (row_off + start // F - 1) == accel_row, F32(w1a), F32(w2a)
     )
     ghi = stencil_math.accel_planes(
-        ghi, fluid_hi, (row_off + start + B) == accel_row, F32(w1a), F32(w2a)
+        ghi, fluid_hi, (row_off + (start + B) // F) == accel_row, F32(w1a), F32(w2a)
     )
 
-    # Leave this block's last body row for the next block's lower ghost.
+    # Leave this block's last original row for the next block's lower ghost.
     for k in range(NS):
-        prev_ref[k, 0] = f_ref[k, B - 1]
+        prev_ref[k] = f_ref[k, B - F : B]
 
-    # Pull streaming: y via one aligned concat per plane, x by lane rotation.
+    # Pull streaming: y via one aligned concat per plane (one original row =
+    # fold view rows), x by the fold-aware lane rotation.
     streamed = []
     for k in range(NS):
         cy = lattice.CY[k]
         if cy == 1:
-            rows = jnp.concatenate([glo[k], body[k][: B - 1]], axis=0)
+            rows = jnp.concatenate([glo[k], body[k][: B - F]], axis=0)
         elif cy == -1:
-            rows = jnp.concatenate([body[k][1:], ghi[k]], axis=0)
+            rows = jnp.concatenate([body[k][F:], ghi[k]], axis=0)
         else:
             rows = body[k]
-        streamed.append(_roll_x(rows, lattice.CX[k]))
+        streamed.append(_fold_roll_x(rows, lattice.CX[k], F))
 
     obst_own = obst_ref[0, 0:B] > F32(0.25)
     out_planes, partial = stencil_math.collide_and_av(streamed, obst_own, F32(omega))
@@ -237,20 +302,26 @@ def _step_kernel(
         sum_ref[0, 0] = sum_ref[0, 0] + partial
 
 
-def _block_obstacles(obst_ext: np.ndarray, block_rows: int) -> np.ndarray:
-    """Rearrange a ghost-extended (n+2, nx) mask into per-block ALIGNED
-    blocks (nb, P, nx) float32: rows [0, B) body, row B the lower ghost,
-    row B+1 the upper ghost, remaining rows sublane padding — so the body
-    mask reads stay tile-aligned in the kernel."""
-    n, nx = obst_ext.shape[0] - 2, obst_ext.shape[1]
+def _block_obstacles(
+    obst_ext: np.ndarray, block_rows: int, fold: int = 1
+) -> np.ndarray:
+    """Rearrange a ghost-extended (rows_v + 2*fold, nx_v) mask into per-block
+    ALIGNED blocks (nb, P, nx_v) float32: rows [0, B) body, rows [B, B+fold)
+    the lower ghost (one original row), rows [B+fold, B+2*fold) the upper
+    ghost, remaining rows sublane padding — so the body mask reads stay
+    tile-aligned in the kernel."""
+    F = fold
+    n, nx = obst_ext.shape[0] - 2 * F, obst_ext.shape[1]
     B = block_rows
     nb = n // B
-    P = _obst_block_rows(B)
+    P = _obst_block_rows(B, F)
     out = np.zeros((nb, P, nx), dtype=np.float32)
     for i in range(nb):
-        out[i, 0:B] = obst_ext[1 + i * B : 1 + (i + 1) * B]
-        out[i, B] = obst_ext[i * B]  # lower ghost row
-        out[i, B + 1] = obst_ext[1 + (i + 1) * B]  # upper ghost row
+        out[i, 0:B] = obst_ext[F + i * B : F + (i + 1) * B]
+        out[i, B : B + F] = obst_ext[i * B : i * B + F]  # lower ghost row
+        out[i, B + F : B + 2 * F] = obst_ext[
+            F + (i + 1) * B : 2 * F + (i + 1) * B
+        ]  # upper ghost row
     return out
 
 
@@ -260,33 +331,38 @@ def _build_call(
     nx: int,
     interpret: bool,
     clone_nx: int | None = None,
+    folded_io: bool = False,
 ):
     """Build the pallas_call for an (n_rows, nx) shard.
 
     Returns ``call(f, ghost_lo, ghost_hi, obst_blocks, row_offset)`` where
-    ghosts are (9, 1, nx) rows adjacent to the shard.
+    ghosts are (9, 1, nx) rows adjacent to the shard.  Wide grids
+    (nx = F * 1024) run in the FOLDED view (9, n_rows*F, 1024); callers stay
+    in original coordinates — the wrapper reshapes (a zero-cost row-major
+    reinterpretation).
     """
-    B = pick_block_rows(n_rows, nx)
-    nb = n_rows // B
+    F, rows_v, nx_v, B = _plan(n_rows, nx, clone_nx)
+    nb = rows_v // B
     w1a, w2a = lattice.accel_weights(params.density, params.accel)
 
-
-    # Upper ghost rows ride the pipeline as aligned 8-row blocks of f with a
-    # modular index map (the group starting at (i+1)*B); lower ghosts are
-    # carried in VMEM scratch from the previous grid step.  Gathering ghosts
-    # outside the kernel instead costs a full extra HBM sweep of f.
+    # Upper ghost rows ride the pipeline as aligned ghost-group blocks of f
+    # with a modular index map (the group starting at view row (i+1)*B);
+    # lower ghosts are carried in VMEM scratch from the previous grid step.
+    # Gathering ghosts outside the kernel instead costs a full extra HBM
+    # sweep of f.
+    G = max(8, F)
     if nb > 1:
-        g8 = B // 8
-        n8 = n_rows // 8
+        gG = B // G
+        nG = rows_v // G
         ghi8_spec = pl.BlockSpec(
-            (NS, 8, nx), lambda i: (0, (i * g8 + g8) % n8, 0), memory_space=pltpu.VMEM
+            (NS, G, nx_v), lambda i: (0, (i * gG + gG) % nG, 0), memory_space=pltpu.VMEM
         )
     else:
         # Single block: external halos are always selected; give the ghost
         # block any valid fixed mapping.
-        ghost_rows = 8 if n_rows % 8 == 0 else n_rows
+        ghost_rows = G if rows_v % G == 0 else rows_v
         ghi8_spec = pl.BlockSpec(
-            (NS, ghost_rows, nx), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
+            (NS, ghost_rows, nx_v), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         )
 
     kernel = functools.partial(
@@ -297,22 +373,23 @@ def _build_call(
         w1a=float(w1a),
         w2a=float(w2a),
         clone_nx=clone_nx,
+        fold=F,
     )
 
     in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # row_offset (1,1)
-            pl.BlockSpec((NS, B, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
-            ghi8_spec,  # f again: upper-ghost 8-row group
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # external halo below (9,1,nx)
-            pl.BlockSpec(memory_space=pltpu.VMEM),  # external halo above (9,1,nx)
+            pl.BlockSpec((NS, B, nx_v), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+            ghi8_spec,  # f again: upper-ghost group
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # external halo below (9,F,nx_v)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # external halo above (9,F,nx_v)
             pl.BlockSpec(
-                (1, _obst_block_rows(B), nx),
+                (1, _obst_block_rows(B, F), nx_v),
                 lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
     ]
     out_specs = (
-        pl.BlockSpec((NS, B, nx), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((NS, B, nx_v), lambda i: (0, i, 0), memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
     )
 
@@ -322,9 +399,9 @@ def _build_call(
         grid=(nb,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((NS, 1, nx), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((NS, F, nx_v), jnp.float32)],
         out_shape=(
-            jax.ShapeDtypeStruct((NS, n_rows, nx), jnp.float32),
+            jax.ShapeDtypeStruct((NS, rows_v, nx_v), jnp.float32),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
         interpret=interpret,
@@ -336,13 +413,24 @@ def _build_call(
     )
 
     def step_slab(f, ghost_lo, ghost_hi, obst_blocks, row_offset):
-        """f (9, n_rows, nx); ghosts (9, 1, nx); obst_blocks (nb, B+2, nx)
-        f32; row_offset scalar int32 (global row of local row 0)."""
+        """f (9, n_rows, nx); ghosts (9, 1, nx); obst_blocks (nb, P, nx_v)
+        f32; row_offset scalar int32 (global row of local row 0).
+
+        With folded_io, f and the ghosts arrive already folded and the
+        result stays folded (no per-step relayouts)."""
         row_off = jnp.asarray(row_offset, dtype=jnp.int32).reshape(1, 1)
+        if F > 1 and not folded_io:
+            # NOTE: on TPU these reshapes are real relayout copies; prefer
+            # folded_io for hot paths.
+            f = f.reshape(NS, rows_v, nx_v)
+            ghost_lo = ghost_lo.reshape(NS, F, nx_v)
+            ghost_hi = ghost_hi.reshape(NS, F, nx_v)
         new_f, tot = call(row_off, f, f, ghost_lo, ghost_hi, obst_blocks)
+        if F > 1 and not folded_io:
+            new_f = new_f.reshape(NS, n_rows, nx)
         return new_f, tot[0, 0]
 
-    return step_slab, B, nb
+    return step_slab, B, nb, F
 
 
 def _use_interpret() -> bool:
@@ -370,11 +458,18 @@ def make_step(
     obstacles: np.ndarray,
     interpret: bool | None = None,
     clone_cols_nx: int | None = None,
+    folded_io: bool = False,
 ):
     """Single-device step: ``f -> (f_new, tot_u)`` with periodic wrap ghosts.
 
     ``clone_cols_nx``: real width of a lane-padded grid; enables the clone
     column obstacle encoding (see :func:`clone_col_encoding`).
+
+    ``folded_io``: the step consumes and produces the FOLDED state
+    (9, ny*F, 1024) directly.  TPU HBM layouts are tiled, so reshaping
+    between the original and folded views is a real relayout copy — wide
+    grids should keep their state folded across the whole run (fold once at
+    init, unfold once at collate) and pass folded_io=True.
     """
     ny, nx = obstacles.shape
     if not supports(params):
@@ -385,17 +480,33 @@ def make_step(
         )
     if interpret is None:
         interpret = _use_interpret()
-    call, B, _ = _build_call(params, ny, nx, interpret, clone_nx=clone_cols_nx)
+    call, B, _, F = _build_call(
+        params, ny, nx, interpret, clone_nx=clone_cols_nx,
+        folded_io=folded_io,
+    )
+    if folded_io and F == 1:
+        raise ValueError("folded_io requires a foldable width (nx = F*1024)")
     obst_f = (
         clone_col_encoding(obstacles, clone_cols_nx)
         if clone_cols_nx is not None
         else obstacles
     )
+    # Ghost-extend by one original row each side, then fold (row-major
+    # reinterpretation on the host: one original row = F view rows).
     obst_ext = np.concatenate([obst_f[-1:], obst_f, obst_f[:1]], axis=0)
-    obst_blocks = jnp.asarray(_block_obstacles(obst_ext, B))
+    obst_ext = obst_ext.reshape((ny + 2) * F, nx // F)
+    obst_blocks = jnp.asarray(_block_obstacles(obst_ext, B, F))
 
-    def step(f):
-        return call(f, f[:, -1:, :], f[:, :1, :], obst_blocks, 0)
+    if folded_io:
+
+        def step(f):
+            # f is (9, ny*F, 1024); periodic ghosts are the wrap rows.
+            return call(f, f[:, -F:, :], f[:, :F, :], obst_blocks, 0)
+
+    else:
+
+        def step(f):
+            return call(f, f[:, -1:, :], f[:, :1, :], obst_blocks, 0)
 
     return step
 
@@ -416,23 +527,26 @@ def make_slab_step(
     """
     if interpret is None:
         interpret = _use_interpret()
-    call, B, nb = _build_call(params, nloc, nx, interpret, clone_nx=clone_cols_nx)
+    call, B, nb, F = _build_call(params, nloc, nx, interpret, clone_nx=clone_cols_nx)
 
-    P = _obst_block_rows(B)
+    P = _obst_block_rows(B, F)
+    nx_v = nx // F
 
     def step_slab(slab, obst_slab, row_offset):
         f = slab[:, 1:-1, :]
         ghost_lo = slab[:, :1, :]
         ghost_hi = slab[:, -1:, :]
-        obst_f = obst_slab.astype(jnp.float32)
-        pad = jnp.zeros((P - B - 2, obst_f.shape[1]), dtype=jnp.float32)
+        # Fold the ghosted mask: (nloc+2, nx) row-major == ((nloc+2)*F, nx_v)
+        # with F view rows per original row, ghosts included.
+        obst_f = obst_slab.astype(jnp.float32).reshape((nloc + 2) * F, nx_v)
+        pad = jnp.zeros((P - B - 2 * F, nx_v), dtype=jnp.float32)
         obst_blocks = jnp.stack(
             [
                 jnp.concatenate(
                     [
-                        obst_f[1 + i * B : 1 + (i + 1) * B],  # body
-                        obst_f[i * B : i * B + 1],  # lower ghost
-                        obst_f[1 + (i + 1) * B : 2 + (i + 1) * B],  # upper
+                        obst_f[F + i * B : F + (i + 1) * B],  # body
+                        obst_f[i * B : i * B + F],  # lower ghost
+                        obst_f[F + (i + 1) * B : 2 * F + (i + 1) * B],  # upper
                         pad,
                     ],
                     axis=0,

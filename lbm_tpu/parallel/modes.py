@@ -158,6 +158,12 @@ def build_single_program(
 
             variant = "pallas-resident"
         if fused_pallas.supports(params):
+            if make_run_all is None and fused_pallas._fold_factor(params.nx) > 1:
+                # Wide grids (nx = F*1024): keep the state folded to 1024
+                # lanes across the whole run — per-step reshapes are real
+                # TPU relayout copies, and Mosaic per-cell cost degrades
+                # badly past 1024 lanes.
+                return _folded_single_program(params, obstacles, f0)
             kernel_step = fused_pallas.make_step(params, np.asarray(obstacles))
 
             def step(f):
@@ -222,6 +228,40 @@ def sharded_pallas_supported(ny: int, nx: int, num_shards: int) -> bool:
     except ValueError:
         return False
     return True
+
+
+def _folded_single_program(
+    params: LBMParams, obstacles: np.ndarray, f0: np.ndarray | None
+) -> StepProgram:
+    """Single-device program for wide grids with folded state storage.
+
+    The (9, ny, F*1024) state lives as (9, ny*F, 1024) for the entire run —
+    a host-side row-major reinterpretation at init, unfolded once at
+    collate (f_of) — so the kernel always computes at the efficient
+    1024-lane shape with zero per-step relayout."""
+    from lbm_tpu.ops import fused_pallas
+
+    ny, nx = params.ny, params.nx
+    F = fused_pallas._fold_factor(nx)
+    nx_v = nx // F
+    if f0 is None:
+        f0 = lattice.equilibrium_rest(params.density, ny, nx)
+    f0_v = np.asarray(f0, dtype=np.float32).reshape(9, ny * F, nx_v)
+    step = fused_pallas.make_step(params, np.asarray(obstacles), folded_io=True)
+    mag = _u_mag_fn(jnp.asarray(obstacles, dtype=bool))
+    tot_cells = int(obstacles.size - np.count_nonzero(obstacles))
+    return StepProgram(
+        init_state=jnp.asarray(f0_v),
+        step=step,
+        f_of=lambda f: f.reshape(9, ny, nx),
+        u_mag=lambda f: mag(f.reshape(9, ny, nx)),
+        tot_cells=tot_cells,
+        mesh=None,
+        variant="pallas-folded",
+        make_run_all=None,
+        global_shape=(ny, nx),
+        backend="pallas",
+    )
 
 
 def _lane_padded_single_program(

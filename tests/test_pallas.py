@@ -133,15 +133,46 @@ def test_wide_grid_fallback():
     from lbm_tpu.io.scene import Scene
     from lbm_tpu.models.driver import RunConfig, _pick_variant
 
-    # Wide enough that neither the block kernel (no aligned block fits) nor
-    # the resident kernel (state exceeds VMEM) can map the grid.
-    wide = LBMParams(nx=128 * 128, ny=16, max_iters=1, reynolds_dim=10,
+    # 128-aligned but not 1024-foldable and too wide for an aligned block:
+    # neither the block kernel nor the resident kernel can map it.
+    wide = LBMParams(nx=128 * 127, ny=16, max_iters=1, reynolds_dim=10,
                      density=0.1, accel=0.005, omega=1.85)
     assert not fused_pallas.supports(wide)
     with pytest.raises(ValueError, match="VMEM"):
         fused_pallas.pick_block_rows(wide.ny, wide.nx)
     sc = Scene(params=wide, obstacles=np.zeros((wide.ny, wide.nx), dtype=bool))
     assert _pick_variant(sc, RunConfig(num_devices=1)) == "jnp"
+
+
+def test_folded_wide_grid_matches_jnp():
+    """Widths that are multiples of 1024 run FOLDED (state stored as
+    (9, ny*F, 1024)); results match the jnp step on the original grid."""
+    from lbm_tpu.parallel import modes
+
+    # ny large enough that the resident kernel cannot take over: the
+    # pallas-folded program (folded state storage) must be selected.
+    params = LBMParams(nx=2048, ny=128, max_iters=6, reynolds_dim=10,
+                       density=0.1, accel=0.005, omega=1.85)
+    assert fused_pallas._fold_factor(params.nx) == 2
+    assert fused_pallas.supports(params)
+    mask = np.zeros((128, 2048), dtype=bool)
+    mask[0, :] = mask[-1, :] = True
+    mask[4:6, 100:104] = True
+    mask[5, 2000:2010] = True  # asymmetry across the fold boundary
+
+    pj = modes.build_single_program(params, mask, backend="jnp")
+    pp = modes.build_single_program(params, mask, backend="pallas")
+    assert pp.variant == "pallas-folded"
+    sj, sp = pj.init_state, pp.init_state
+    stj, stp = jax.jit(pj.step), jax.jit(pp.step)
+    for _ in range(6):
+        sj, tj = stj(sj)
+        sp, tp = stp(sp)
+    fj = np.asarray(pj.f_of(sj))
+    fp = np.asarray(pp.f_of(sp))
+    assert fp.shape == fj.shape
+    np.testing.assert_allclose(fp, fj, atol=5e-8)
+    np.testing.assert_allclose(float(tp), float(tj), rtol=1e-5)
 
 
 def test_footprint_model_monotone():
