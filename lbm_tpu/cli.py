@@ -50,6 +50,12 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
     p.add_argument("--profile", default=None, metavar="DIR",
                    help="capture a jax profiler trace of the compute phase")
     p.add_argument(
+        "--segment-steps", type=int, default=None,
+        help="execute as fixed-N-step compiled segments so the executable "
+        "is independent of --steps and the persistent compilation cache "
+        "hits across runs (default: auto; 0 = one whole-run executable)",
+    )
+    p.add_argument(
         "--divergence",
         action="store_true",
         help="run sync and async side by side and emit the per-step "
@@ -130,6 +136,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         checkpoint_dir=args.checkpoint_dir,
         resume_from=args.resume,
         profile_dir=args.profile,
+        segment_steps=args.segment_steps,
     )
     import jax
 
@@ -245,6 +252,9 @@ def cmd_info(_args: argparse.Namespace) -> int:
 
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
+    from lbm_tpu.utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()
     parser = argparse.ArgumentParser(prog="lbm_tpu", description=__doc__)
     sub = parser.add_subparsers(dest="command", required=True)
 

@@ -53,6 +53,13 @@ class RunConfig:
     checkpoint_dir: str = "checkpoints"
     resume_from: str | None = None  # path of a checkpoint .npz to resume
     profile_dir: str | None = None  # capture a jax profiler trace of compute
+    # Compile-latency control: execute long runs as repeated fixed-length
+    # compiled segments instead of one num_steps-length executable, so the
+    # compiled artifact is independent of --steps and the persistent
+    # compilation cache hits across runs/scenes of the same grid.  None =
+    # auto (segment when num_steps > _SEGMENT_STEPS); 0 = always one
+    # executable; N>0 = explicit segment length.
+    segment_steps: int | None = None
 
 
 @dataclasses.dataclass
@@ -243,6 +250,38 @@ def _make_scan(
     return jax.jit(run, donate_argnums=(0,) if donate else ())
 
 
+# Default segment length for long runs.  4000 divides every reference
+# scene's maxIters (20000/40000/80000), so full-length runs of all four
+# grids share ONE compiled artifact per (grid, variant, backend) — and the
+# persistent compilation cache makes recompiles across processes free.
+# Segments are pure execution boundaries: scan(4000) ∘ scan(4000) performs
+# the identical op sequence as scan(8000), so results are bitwise-equal to
+# the single-executable path (tested).  Per-segment dispatch overhead is
+# O(100 µs) against >= 100 ms of device work per segment.
+_SEGMENT_STEPS = 4000
+
+
+def _segment_lengths(
+    num_steps: int, config: RunConfig, program: modes.StepProgram
+) -> list[int] | None:
+    """Split num_steps into fixed-size compiled segments, or None to run one
+    num_steps-length executable (short runs / explicit --segment-steps 0)."""
+    if config.frame_interval is not None or config.debug:
+        return None  # frame/debug buffers are sized by the whole run
+    seg = config.segment_steps
+    if seg is None:
+        seg = _SEGMENT_STEPS
+    if seg <= 0 or num_steps <= seg:
+        return None
+    spc = program.steps_per_call
+    if spc > 1:
+        seg += (-seg) % spc  # keep each segment a whole number of chunks
+    lengths = [seg] * (num_steps // seg)
+    if num_steps % seg:
+        lengths.append(num_steps % seg)
+    return lengths
+
+
 def _run_with_checkpoints(
     scene: Scene,
     config: RunConfig,
@@ -371,15 +410,38 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
             scene, config, program, num_steps, start_step, av_prefix, timer
         )
 
-    run = _make_scan(
-        program, num_steps - start_step, config.frame_interval, config.debug,
-        donate=config.donate,
-    )
-    # Compile before timing the compute phase (compilation is init cost, as
-    # the reference's timed Compute section starts after initialise).
+    remaining = num_steps - start_step
     state0 = program.init_state
-    compiled = run.lower(state0).compile()
+    seg_lengths = _segment_lengths(remaining, config, program)
+    if seg_lengths is None:
+        seg_lengths = [remaining]
+        compiled = {
+            remaining: _make_scan(
+                program, remaining, config.frame_interval, config.debug,
+                donate=config.donate,
+            ).lower(state0).compile()
+        }
+    else:
+        # Compile one executable per distinct segment length (normally the
+        # fixed length plus at most one remainder) — compilation is init
+        # cost, as the reference's timed Compute section starts after
+        # initialise.
+        compiled = {
+            n: _make_scan(program, n, None, False, donate=config.donate)
+            .lower(state0)
+            .compile()
+            for n in sorted(set(seg_lengths))
+        }
     timer.stop("init")
+
+    def _execute():
+        state, frames = state0, None
+        tot_parts = []
+        for n in seg_lengths:
+            state, tot_us, frames = compiled[n](state)
+            tot_parts.append(tot_us)
+        jax.block_until_ready(tot_parts[-1])
+        return state, tot_parts, frames
 
     timer.start("compute")
     if config.profile_dir:
@@ -387,20 +449,22 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
         # phase brackets, SerialCode/d2q9-bgk.c:156-200; this captures the
         # full XLA/TPU timeline for TensorBoard/xprof).
         with jax.profiler.trace(config.profile_dir):
-            state, tot_us, frames = compiled(state0)
-            jax.block_until_ready(tot_us)
+            state, tot_parts, frames = _execute()
     else:
-        state, tot_us, frames = compiled(state0)
-        jax.block_until_ready(tot_us)
+        state, tot_parts, frames = _execute()
     timer.stop("compute")
 
     timer.start("collate")
     densities = None
     if config.debug:
-        tot_us, densities = tot_us
+        tot_us, densities = tot_parts[0]  # debug never segments
         densities = np.asarray(jax.device_get(densities), dtype=np.float32)
+        tot_us = np.asarray(jax.device_get(tot_us), dtype=np.float32)
+    else:
+        tot_us = np.concatenate(
+            [np.asarray(jax.device_get(t), dtype=np.float32) for t in tot_parts]
+        )
     f = np.asarray(jax.device_get(program.f_of(state)), dtype=np.float32)
-    tot_us = np.asarray(jax.device_get(tot_us), dtype=np.float32)
     av_vels = tot_us / np.float32(program.tot_cells)
     if start_step:
         av_vels = np.concatenate([av_prefix, av_vels])

@@ -60,7 +60,9 @@ def run_bench(
     repeats: int = 3,
 ) -> dict:
     from lbm_tpu.models.driver import RunConfig, run_simulation
+    from lbm_tpu.utils.compcache import enable_persistent_cache
 
+    enable_persistent_cache()
     scene = load_or_make_scene(grid)
     num_steps = steps if steps is not None else scene.params.max_iters
     config = RunConfig(variant=variant, num_devices=devices, num_steps=num_steps)
