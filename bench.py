@@ -19,6 +19,7 @@ def main() -> int:
     grid = os.environ.get("LBM_BENCH_GRID", "1024x1024")
     steps = os.environ.get("LBM_BENCH_STEPS")
     variant = os.environ.get("LBM_BENCH_VARIANT", "auto")
+    storage = os.environ.get("LBM_BENCH_STORAGE", "f32")
 
     try:
         from lbm_tpu.tools.bench import run_bench
@@ -28,6 +29,7 @@ def main() -> int:
             variant=variant,
             steps=int(steps) if steps else None,
             repeats=int(os.environ.get("LBM_BENCH_REPEATS", "2")),
+            storage=storage,
         )
         out = {
             "metric": report["metric"],

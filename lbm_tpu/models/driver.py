@@ -42,6 +42,10 @@ class RunConfig:
     num_steps: int | None = None  # override params.max_iters
     frame_interval: int | None = None  # capture |u| every k steps (None = off)
     backend: str | None = None  # force "jnp"/"pallas" slab compute
+    # HBM state representation: "f32" (exact) or "i16" (int16 fixed-point
+    # deviations, ops/quant.py — half the memory traffic, <=0.32% measured
+    # golden deviation; requires the pallas block kernel).
+    storage: str = "f32"
     # Donate the initial state buffer to the scan.  Off by default: it saves
     # only the init buffer (scan double-buffers internally), and donation of
     # pallas_call-containing scans triggers backend errors / severe slowdowns
@@ -131,9 +135,23 @@ def build_program(
 ) -> modes.StepProgram:
     variant = _pick_variant(scene, config)
     params, obst = scene.params, scene.obstacles
+    if config.storage != "f32" and variant not in ("jnp", "pallas"):
+        raise ValueError(
+            f"storage {config.storage!r} is only supported by the "
+            "single-device pallas variants (got variant "
+            f"{variant!r}); use --variant pallas"
+        )
     if variant in ("jnp", "pallas"):
+        backend = config.backend or variant
+        if config.storage != "f32":
+            if backend == "jnp" and (config.variant != "auto" or config.backend):
+                raise ValueError(
+                    f"storage {config.storage!r} requires the pallas "
+                    "backend; drop --variant jnp / --backend jnp"
+                )
+            backend = "pallas"  # i16 requires the block kernel
         return modes.build_single_program(
-            params, obst, f0=f0, backend=config.backend or variant
+            params, obst, f0=f0, backend=backend, storage=config.storage
         )
     if variant in ("sync", "overlap", "async", "async-k", "chunked"):
         mesh = mesh_lib.make_row_mesh(config.num_devices)
@@ -372,6 +390,10 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
             raise ValueError(
                 "checkpoint/resume is not supported with the serial oracle "
                 "variant; use the jnp or pallas variant"
+            )
+        if config.storage != "f32":
+            raise ValueError(
+                "storage 'i16' is not supported by the serial oracle variant"
             )
         with timer.section("init"):
             obst = scene.obstacles

@@ -43,7 +43,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lbm_tpu.core import lattice
-from lbm_tpu.ops import stencil_math
+from lbm_tpu.ops import quant, stencil_math
 from lbm_tpu.params import LBMParams
 
 F32 = jnp.float32
@@ -212,6 +212,8 @@ def _step_kernel(
     w2a: float,
     clone_nx: int | None = None,
     fold: int = 1,
+    storage: str = "f32",
+    density: float = 0.0,
 ):
     i = pl.program_id(0)
     nb = pl.num_programs(0)
@@ -219,6 +221,24 @@ def _step_kernel(
     F = fold
     start = pl.multiple_of(i * B, B)
     row_off = row_off_ref[0, 0]
+
+    # Storage codec: i16 mode keeps the HBM state as int16 fixed-point
+    # deviations from rest (ops/quant.py) — half the traffic of f32, with
+    # measured <=0.32% golden deviation over full runs.  All arithmetic
+    # stays f32; the codec wraps only the block loads and the output write.
+    if storage == "i16":
+        def deq(x, k):
+            return quant.dequantize_plane(x, k, density)
+
+        def enq(x, k):
+            return quant.quantize_plane(x, k, density)
+
+    else:
+        def deq(x, k):
+            return x
+
+        def enq(x, k):
+            return x
 
     # Obstacle encoding: 0.0 fluid, 1.0 wall, 0.5 lane-padding clone column
     # whose source column is fluid.  Clones must receive the driven-row
@@ -234,7 +254,7 @@ def _step_kernel(
     # Original-grid row of a view row: row_off + (start + v) // fold.
     view_iota = jax.lax.broadcasted_iota(jnp.int32, (B, 1), 0)
     row_mask_body = (row_off + (start + view_iota) // F) == accel_row
-    body = [f_ref[k] for k in range(NS)]
+    body = [deq(f_ref[k], k) for k in range(NS)]
     body = stencil_math.accel_planes(
         body, fluid_body, row_mask_body, F32(w1a), F32(w2a)
     )
@@ -246,8 +266,8 @@ def _step_kernel(
     # original row = ``fold`` view rows.
     at_lo_edge = i == 0
     at_hi_edge = i == nb - 1
-    glo = [jnp.where(at_lo_edge, lo_ref[k], prev_ref[k]) for k in range(NS)]
-    ghi = [jnp.where(at_hi_edge, hi_ref[k], ghi8_ref[k, 0:F]) for k in range(NS)]
+    glo = [deq(jnp.where(at_lo_edge, lo_ref[k], prev_ref[k]), k) for k in range(NS)]
+    ghi = [deq(jnp.where(at_hi_edge, hi_ref[k], ghi8_ref[k, 0:F]), k) for k in range(NS)]
     fluid_lo = obst_ref[0, B : B + F, :] < F32(0.75)
     fluid_hi = obst_ref[0, B + F : B + 2 * F, :] < F32(0.75)
     glo = stencil_math.accel_planes(
@@ -288,7 +308,7 @@ def _step_kernel(
             o = jnp.where(lanes == nx_total - 1, o[:, clone_nx - 1 : clone_nx], o)
             out_planes[k] = o
     for k in range(NS):
-        out_ref[k] = out_planes[k]
+        out_ref[k] = enq(out_planes[k], k)
 
     # Accumulate the per-block |u| partial into a single SMEM cell revisited
     # by every grid step (grid steps run sequentially on a TPU core).
@@ -332,6 +352,7 @@ def _build_call(
     interpret: bool,
     clone_nx: int | None = None,
     folded_io: bool = False,
+    storage: str = "f32",
 ):
     """Build the pallas_call for an (n_rows, nx) shard.
 
@@ -374,7 +395,11 @@ def _build_call(
         w2a=float(w2a),
         clone_nx=clone_nx,
         fold=F,
+        storage=storage,
+        density=float(params.density),
     )
+    f_dtype = jnp.int16 if storage == "i16" else jnp.float32
+    f_bytes = 2 if storage == "i16" else 4
 
     in_specs = [
             pl.BlockSpec(memory_space=pltpu.SMEM),  # row_offset (1,1)
@@ -399,15 +424,15 @@ def _build_call(
         grid=(nb,),
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=[pltpu.VMEM((NS, F, nx_v), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((NS, F, nx_v), f_dtype)],
         out_shape=(
-            jax.ShapeDtypeStruct((NS, rows_v, nx_v), jnp.float32),
+            jax.ShapeDtypeStruct((NS, rows_v, nx_v), f_dtype),
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=flops_per_cell * n_rows * nx,
-            bytes_accessed=2 * NS * n_rows * nx * 4 + n_rows * nx * 4,
+            bytes_accessed=2 * NS * n_rows * nx * f_bytes + n_rows * nx * 4,
             transcendentals=n_rows * nx,
         ),
     )
@@ -459,6 +484,7 @@ def make_step(
     interpret: bool | None = None,
     clone_cols_nx: int | None = None,
     folded_io: bool = False,
+    storage: str = "f32",
 ):
     """Single-device step: ``f -> (f_new, tot_u)`` with periodic wrap ghosts.
 
@@ -482,7 +508,7 @@ def make_step(
         interpret = _use_interpret()
     call, B, _, F = _build_call(
         params, ny, nx, interpret, clone_nx=clone_cols_nx,
-        folded_io=folded_io,
+        folded_io=folded_io, storage=storage,
     )
     if folded_io and F == 1:
         raise ValueError("folded_io requires a foldable width (nx = F*1024)")
@@ -517,6 +543,7 @@ def make_slab_step(
     nx: int,
     interpret: bool | None = None,
     clone_cols_nx: int | None = None,
+    storage: str = "f32",
 ):
     """Sharded per-shard step: ``(slab, obst_slab, row_offset) -> (f, tot_u)``.
 
@@ -527,7 +554,9 @@ def make_slab_step(
     """
     if interpret is None:
         interpret = _use_interpret()
-    call, B, nb, F = _build_call(params, nloc, nx, interpret, clone_nx=clone_cols_nx)
+    call, B, nb, F = _build_call(
+        params, nloc, nx, interpret, clone_nx=clone_cols_nx, storage=storage
+    )
 
     P = _obst_block_rows(B, F)
     nx_v = nx // F

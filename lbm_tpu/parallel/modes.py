@@ -127,6 +127,7 @@ def build_single_program(
     obstacles: np.ndarray,
     f0: np.ndarray | None = None,
     backend: str = "jnp",
+    storage: str = "f32",
 ) -> StepProgram:
     """Single-device program (periodic full grid); ``backend`` selects the
     jnp step or the Pallas kernel.
@@ -134,7 +135,17 @@ def build_single_program(
     Grids whose nx is not lane-aligned are transparently lane-padded for the
     Pallas backend (blocked pad columns with per-step clone refresh of the
     two wrap-image columns), so scenes of any width get kernel speed
-    (VERDICT r1 #10)."""
+    (VERDICT r1 #10).
+
+    ``storage='i16'`` keeps the HBM state as int16 fixed-point deviations
+    (ops/quant.py): half the memory traffic, <=0.32% measured golden
+    deviation.  Requires the pallas block kernel."""
+    if storage not in ("f32", "i16"):
+        raise ValueError(f"unknown storage {storage!r}; use 'f32' or 'i16'")
+    if storage == "i16":
+        if backend != "pallas":
+            raise ValueError("storage 'i16' requires the pallas backend")
+        return _i16_single_program(params, obstacles, f0)
     if backend == "pallas" and params.nx % 128:
         prog = _lane_padded_single_program(params, obstacles, f0)
         if prog is not None:
@@ -230,8 +241,62 @@ def sharded_pallas_supported(ny: int, nx: int, num_shards: int) -> bool:
     return True
 
 
-def _folded_single_program(
+def _i16_single_program(
     params: LBMParams, obstacles: np.ndarray, f0: np.ndarray | None
+) -> StepProgram:
+    """Single-device program with int16 fixed-point state (ops/quant.py).
+
+    Dispatches to the same lane-padded / folded layouts as the f32 pallas
+    path; only the HBM representation changes (the kernel dequantizes on
+    load and requantizes on store)."""
+    from lbm_tpu.ops import fused_pallas
+
+    if params.nx % 128:
+        prog = _lane_padded_single_program(params, obstacles, f0, storage="i16")
+        if prog is None:
+            raise ValueError(
+                f"storage 'i16' requires the pallas block kernel, which "
+                f"cannot map a {params.ny}x{params.nx} grid even lane-padded"
+            )
+        return prog
+    if not fused_pallas.supports(params):
+        raise ValueError(
+            f"storage 'i16' requires the pallas block kernel, which cannot "
+            f"map a {params.ny}x{params.nx} grid"
+        )
+    if fused_pallas._fold_factor(params.nx) > 1:
+        return _folded_single_program(params, obstacles, f0, storage="i16")
+    from lbm_tpu.ops import quant
+
+    if f0 is None:
+        f0 = lattice.equilibrium_rest(params.density, params.ny, params.nx)
+    dens = float(params.density)
+    step = fused_pallas.make_step(params, np.asarray(obstacles), storage="i16")
+    obst = jnp.asarray(obstacles, dtype=bool)
+    mag = _u_mag_fn(obst)
+
+    def deq(q):
+        return quant.dequantize(q, dens)
+
+    return StepProgram(
+        init_state=quant.quantize(jnp.asarray(f0, dtype=jnp.float32), dens),
+        step=step,
+        f_of=deq,
+        u_mag=lambda q: mag(deq(q)),
+        tot_cells=int(obstacles.size - np.count_nonzero(obstacles)),
+        mesh=None,
+        variant="pallas-i16",
+        make_run_all=None,
+        global_shape=(params.ny, params.nx),
+        backend="pallas",
+    )
+
+
+def _folded_single_program(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    f0: np.ndarray | None,
+    storage: str = "f32",
 ) -> StepProgram:
     """Single-device program for wide grids with folded state storage.
 
@@ -246,18 +311,31 @@ def _folded_single_program(
     nx_v = nx // F
     if f0 is None:
         f0 = lattice.equilibrium_rest(params.density, ny, nx)
-    f0_v = np.asarray(f0, dtype=np.float32).reshape(9, ny * F, nx_v)
-    step = fused_pallas.make_step(params, np.asarray(obstacles), folded_io=True)
+    f0_v = jnp.asarray(np.asarray(f0, dtype=np.float32).reshape(9, ny * F, nx_v))
+    step = fused_pallas.make_step(
+        params, np.asarray(obstacles), folded_io=True, storage=storage
+    )
     mag = _u_mag_fn(jnp.asarray(obstacles, dtype=bool))
     tot_cells = int(obstacles.size - np.count_nonzero(obstacles))
+    variant = "pallas-folded"
+    if storage == "i16":
+        from lbm_tpu.ops import quant
+
+        dens = float(params.density)
+        init_state = quant.quantize(f0_v, dens)
+        unfold = lambda q: quant.dequantize(q, dens).reshape(9, ny, nx)
+        variant = "pallas-folded-i16"
+    else:
+        init_state = f0_v
+        unfold = lambda f: f.reshape(9, ny, nx)
     return StepProgram(
-        init_state=jnp.asarray(f0_v),
+        init_state=init_state,
         step=step,
-        f_of=lambda f: f.reshape(9, ny, nx),
-        u_mag=lambda f: mag(f.reshape(9, ny, nx)),
+        f_of=unfold,
+        u_mag=lambda f: mag(unfold(f)),
         tot_cells=tot_cells,
         mesh=None,
-        variant="pallas-folded",
+        variant=variant,
         make_run_all=None,
         global_shape=(ny, nx),
         backend="pallas",
@@ -265,7 +343,10 @@ def _folded_single_program(
 
 
 def _lane_padded_single_program(
-    params: LBMParams, obstacles: np.ndarray, f0: np.ndarray | None
+    params: LBMParams,
+    obstacles: np.ndarray,
+    f0: np.ndarray | None,
+    storage: str = "f32",
 ) -> StepProgram | None:
     """Wrap the Pallas single-device program in lane padding, or None if the
     block kernel cannot map even the padded grid."""
@@ -280,17 +361,27 @@ def _lane_padded_single_program(
     if f0_p is None:
         f0_p = lattice.equilibrium_rest(params.density, params.ny, padded.nx)
     # The kernel refreshes the clone columns in its own output write.
-    step = fused_pallas.make_step(padded, obst_p, clone_cols_nx=nx)
+    step = fused_pallas.make_step(padded, obst_p, clone_cols_nx=nx, storage=storage)
     mag = _u_mag_fn(jnp.asarray(obst_p, dtype=bool))
     tot_cells = int(obstacles.size - np.count_nonzero(obstacles))
+    init_state = jnp.asarray(f0_p, dtype=jnp.float32)
+    variant = "pallas-lanepad"
+    deq = lambda f: f
+    if storage == "i16":
+        from lbm_tpu.ops import quant
+
+        dens = float(params.density)
+        init_state = quant.quantize(init_state, dens)
+        deq = lambda q: quant.dequantize(q, dens)
+        variant = "pallas-lanepad-i16"
     return StepProgram(
-        init_state=jnp.asarray(f0_p, dtype=jnp.float32),
+        init_state=init_state,
         step=step,
-        f_of=lambda f: f[:, :, :nx],
-        u_mag=lambda f: mag(f)[:, :nx],
+        f_of=lambda f: deq(f)[:, :, :nx],
+        u_mag=lambda f: mag(deq(f))[:, :nx],
         tot_cells=tot_cells,
         mesh=None,
-        variant="pallas-lanepad",
+        variant=variant,
         # The VMEM-resident whole-run path cannot interleave the clone
         # refresh between its in-kernel steps; padded grids use the per-step
         # block kernel.

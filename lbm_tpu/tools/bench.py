@@ -58,6 +58,7 @@ def run_bench(
     steps: int | None = None,
     devices: int | None = None,
     repeats: int = 3,
+    storage: str = "f32",
 ) -> dict:
     from lbm_tpu.models.driver import RunConfig, run_simulation
     from lbm_tpu.utils.compcache import enable_persistent_cache
@@ -65,7 +66,9 @@ def run_bench(
     enable_persistent_cache()
     scene = load_or_make_scene(grid)
     num_steps = steps if steps is not None else scene.params.max_iters
-    config = RunConfig(variant=variant, num_devices=devices, num_steps=num_steps)
+    config = RunConfig(
+        variant=variant, num_devices=devices, num_steps=num_steps, storage=storage
+    )
 
     best_mlups = 0.0
     best = None
@@ -78,6 +81,7 @@ def run_bench(
     baseline = REFERENCE_BEST_MLUPS.get(grid)
     return {
         "metric": f"MLUPS {grid} {best.variant}",
+        "storage": storage,
         "value": round(best_mlups, 1),
         "unit": "MLUPS",
         "vs_baseline": round(best_mlups / baseline, 3) if baseline else None,
