@@ -135,12 +135,6 @@ def build_program(
 ) -> modes.StepProgram:
     variant = _pick_variant(scene, config)
     params, obst = scene.params, scene.obstacles
-    if config.storage != "f32" and variant not in ("jnp", "pallas"):
-        raise ValueError(
-            f"storage {config.storage!r} is only supported by the "
-            "single-device pallas variants (got variant "
-            f"{variant!r}); use --variant pallas"
-        )
     if variant in ("jnp", "pallas"):
         backend = config.backend or variant
         if config.storage != "f32":
@@ -171,6 +165,7 @@ def build_program(
             staleness=staleness,
             f0=f0,
             backend=config.backend,  # None -> fast (pallas) when mappable
+            storage=config.storage,
         )
     raise ValueError(f"variant {variant!r} has no program builder")
 

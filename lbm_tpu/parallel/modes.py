@@ -414,6 +414,7 @@ def build_sharded_program(
     staleness: int = 1,
     f0: np.ndarray | None = None,
     backend: str | None = None,
+    storage: str = "f32",
 ) -> StepProgram:
     """Row-sharded step program over ``mesh`` in one of the three disciplines.
 
@@ -431,12 +432,25 @@ def build_sharded_program(
         the Pallas kernel whenever it can map the (padded) shard layout —
         the fast path is the default, like the reference whose default
         binary IS the optimized parallel build (MPI/d2q9-bgk.c:130-331).
+      storage: "f32" or "i16" (int16 fixed-point deviation state,
+        ops/quant.py).  i16 halves both the per-shard HBM traffic and the
+        halo-exchange bytes on the ICI ring; requires the pallas backend.
     """
     ny, nx = obstacles.shape
     num_shards = mesh.shape[ROWS]
-    if backend is None:
+    if storage not in ("f32", "i16"):
+        raise ValueError(f"unknown storage {storage!r}; use 'f32' or 'i16'")
+    auto_backend = backend is None
+    if auto_backend:
         backend = (
             "pallas" if sharded_pallas_supported(ny, nx, num_shards) else "jnp"
+        )
+    if storage == "i16" and backend != "pallas":
+        raise ValueError(
+            "storage 'i16' requires the pallas slab kernel, which cannot map "
+            f"this {ny}x{nx} layout over {num_shards} shards"
+            if auto_backend
+            else f"storage 'i16' requires the pallas backend, got {backend!r}"
         )
     ny_orig = ny
     nx_orig = nx
@@ -525,7 +539,12 @@ def build_sharded_program(
         obst_slabs = jax.device_put(
             jnp.asarray(slabs_host), NamedSharding(mesh, P(ROWS, None, None))
         )
-    f_init = jax.device_put(jnp.asarray(f0, dtype=jnp.float32), f_sharding)
+    f_init = jnp.asarray(f0, dtype=jnp.float32)
+    if storage == "i16":
+        from lbm_tpu.ops import quant
+
+        f_init = quant.quantize(f_init, float(params.density))
+    f_init = jax.device_put(f_init, f_sharding)
 
     if backend == "pallas":
         from lbm_tpu.ops import fused_pallas
@@ -540,6 +559,7 @@ def build_sharded_program(
                 _slab_steps[n] = fused_pallas.make_slab_step(
                     params, n, nx,
                     clone_cols_nx=nx - pad_cols if pad_cols else None,
+                    storage=storage,
                 )
             return _slab_steps[n](slab, obst_slab, row_offset)
 
@@ -648,7 +668,13 @@ def build_sharded_program(
         new_f, tot_u = local_slab_step(slab, obst_slab, shard_row_offset())
         return (refresh_pads(new_f), q_lo, q_hi), tot_u
 
-    if backend == "pallas" and mode == "chunked" and not open_pad and not pad_cols:
+    if (
+        backend == "pallas"
+        and mode == "chunked"
+        and storage == "f32"  # the VMEM-resident chunk kernel is f32-only
+        and not open_pad
+        and not pad_cols
+    ):
         from lbm_tpu.ops import resident_pallas
 
         if resident_pallas.supports_shard(nloc, nx):
@@ -779,6 +805,15 @@ def build_sharded_program(
         f_of = lambda s: s[0]
 
     mag_local = _u_mag_fn(obst_global)
+    if storage == "i16":
+        from lbm_tpu.ops import quant
+
+        _raw_f_of = f_of
+        dens = float(params.density)
+
+        def f_of(state):  # noqa: F811 — wraps the storage codec
+            return quant.dequantize(_raw_f_of(state), dens)
+
     f_of_padded = f_of
 
     if pad_rows or pad_cols:
@@ -802,7 +837,8 @@ def build_sharded_program(
         tot_cells=tot_cells,
         mesh=mesh,
         variant=f"{mode}"
-        + (f"-{staleness}" if mode in ("async", "chunked") and staleness > 1 else ""),
+        + (f"-{staleness}" if mode in ("async", "chunked") and staleness > 1 else "")
+        + ("-i16" if storage == "i16" else ""),
         steps_per_call=staleness if mode == "chunked" else 1,
         global_shape=(ny, nx),
         backend=backend,

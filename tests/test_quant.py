@@ -115,9 +115,41 @@ def test_driver_i16_folded_wide_grid():
 def test_i16_rejects_unsupported_variants(scene):
     with pytest.raises(ValueError, match="serial"):
         run_simulation(scene, RunConfig(variant="serial", storage="i16"))
-    with pytest.raises(ValueError, match="storage"):
-        run_simulation(
-            scene, RunConfig(variant="sync", num_devices=8, storage="i16")
-        )
     with pytest.raises(ValueError, match="pallas"):
         run_simulation(scene, RunConfig(variant="jnp", storage="i16"))
+    with pytest.raises(ValueError, match="pallas"):
+        run_simulation(
+            scene,
+            RunConfig(variant="sync", num_devices=8, backend="jnp", storage="i16"),
+        )
+
+
+def test_sharded_i16_matches_single_device_i16():
+    """sync sharding is a pure decomposition: the i16 state evolution over
+    8 shards must match the single-device i16 run (both run the same kernel
+    math on dequantized values; CPU interpret leaves ~1-lsb noise)."""
+    sc = _box_scene(16, 128, 20)
+    single = run_simulation(sc, RunConfig(variant="pallas", storage="i16"))
+    for variant in ("sync", "overlap"):
+        res = run_simulation(
+            sc, RunConfig(variant=variant, num_devices=8, storage="i16")
+        )
+        assert res.variant == f"{variant}-i16"
+        step = quant.RANGE_C * np.max(lattice.WEIGHTS) * 0.1 / 32767.0
+        assert np.abs(res.f - single.f).max() <= 2.01 * step
+        np.testing.assert_allclose(res.av_vels, single.av_vels, rtol=2e-3, atol=1e-7)
+
+
+def test_sharded_i16_async_and_chunked_run():
+    sc = _box_scene(16, 128, 20)
+    ref = run_simulation(sc, RunConfig(variant="sync", num_devices=2, storage="i16"))
+    for variant, staleness in (("async", 1), ("chunked", 2)):
+        res = run_simulation(
+            sc,
+            RunConfig(
+                variant=variant, num_devices=2, staleness=staleness, storage="i16"
+            ),
+        )
+        assert res.variant.endswith("-i16")
+        rel = np.abs(res.f - ref.f).max() / np.abs(ref.f).max()
+        assert rel < 1e-2  # stale halos deviate but stay inside the contract
