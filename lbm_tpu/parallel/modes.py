@@ -266,7 +266,19 @@ def _i16_single_program(
         )
     if fused_pallas._fold_factor(params.nx) > 1:
         return _folded_single_program(params, obstacles, f0, storage="i16")
-    from lbm_tpu.ops import quant
+    from lbm_tpu.ops import quant, resident_pallas
+
+    if resident_pallas.supports(params):
+        import warnings
+
+        warnings.warn(
+            f"storage 'i16' runs the per-step block kernel, but this "
+            f"{params.ny}x{params.nx} grid fits the VMEM-resident f32 "
+            "kernel, which is typically faster (i16 pays off on "
+            "HBM-bandwidth-bound grids, ~2048^2 and up); consider dropping "
+            "--storage i16",
+            stacklevel=4,
+        )
 
     if f0 is None:
         f0 = lattice.equilibrium_rest(params.density, params.ny, params.nx)

@@ -153,3 +153,52 @@ def test_sharded_i16_async_and_chunked_run():
         assert res.variant.endswith("-i16")
         rel = np.abs(res.f - ref.f).max() / np.abs(ref.f).max()
         assert rel < 1e-2  # stale halos deviate but stay inside the contract
+
+
+def test_i16_warns_when_resident_kernel_would_be_faster():
+    sc = _box_scene(16, 128, 5)
+    with pytest.warns(UserWarning, match="VMEM-resident"):
+        run_simulation(sc, RunConfig(variant="pallas", storage="i16"))
+
+
+def test_i16_frames_and_u_mag():
+    """Frame capture dequantizes per snapshot; frames must match the f32
+    run's frames to quantization noise."""
+    import warnings
+
+    sc = _box_scene(16, 128, 20)
+    ref = run_simulation(sc, RunConfig(variant="jnp", frame_interval=10))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        res = run_simulation(
+            sc, RunConfig(variant="pallas", storage="i16", frame_interval=10)
+        )
+    assert res.frames is not None and res.frames.shape == ref.frames.shape
+    assert np.abs(res.frames - ref.frames).max() < 1e-4
+
+
+def test_i16_checkpoint_resume_bitwise(tmp_path):
+    """Resume requantizes the dequantized checkpoint; the requant identity
+    makes the resumed i16 run reproduce the uninterrupted one bitwise."""
+    import warnings
+
+    sc = _box_scene(16, 128, 20)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", UserWarning)
+        full = run_simulation(sc, RunConfig(variant="pallas", storage="i16"))
+        run_simulation(
+            sc,
+            RunConfig(
+                variant="pallas", storage="i16", checkpoint_every=10,
+                checkpoint_dir=str(tmp_path),
+            ),
+        )
+        resumed = run_simulation(
+            sc,
+            RunConfig(
+                variant="pallas", storage="i16",
+                resume_from=str(tmp_path / "ckpt_00000010.npz"),
+            ),
+        )
+    np.testing.assert_array_equal(resumed.f, full.f)
+    np.testing.assert_array_equal(resumed.av_vels[10:], full.av_vels[10:])
