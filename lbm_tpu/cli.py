@@ -62,6 +62,12 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
         "hits across runs (default: auto; 0 = one whole-run executable)",
     )
     p.add_argument(
+        "--temporal-k", type=int, default=None,
+        help="timesteps advanced per HBM sweep on the single-device block-"
+        "kernel path (default: auto by grid size; 1 = disable temporal "
+        "blocking)",
+    )
+    p.add_argument(
         "--divergence",
         action="store_true",
         help="run sync and async side by side and emit the per-step "
@@ -144,6 +150,7 @@ def cmd_run(args: argparse.Namespace) -> int:
         resume_from=args.resume,
         profile_dir=args.profile,
         segment_steps=args.segment_steps,
+        temporal_k=args.temporal_k,
     )
     import jax
 

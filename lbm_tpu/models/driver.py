@@ -64,6 +64,10 @@ class RunConfig:
     # auto (segment when num_steps > _SEGMENT_STEPS); 0 = always one
     # executable; N>0 = explicit segment length.
     segment_steps: int | None = None
+    # Temporal-blocking depth for the single-device block-kernel path:
+    # K timesteps advance per HBM sweep (ops/temporal_pallas.py).  None =
+    # auto (size heuristic), 1 = disable, >=2 = force a depth.
+    temporal_k: int | None = None
 
 
 @dataclasses.dataclass
@@ -145,7 +149,8 @@ def build_program(
                 )
             backend = "pallas"  # i16 requires the block kernel
         return modes.build_single_program(
-            params, obst, f0=f0, backend=backend, storage=config.storage
+            params, obst, f0=f0, backend=backend, storage=config.storage,
+            temporal_k=config.temporal_k,
         )
     if variant in ("sync", "overlap", "async", "async-k", "chunked"):
         mesh = mesh_lib.make_row_mesh(config.num_devices)

@@ -1,0 +1,529 @@
+"""K-step temporal-blocking Pallas kernel: K timesteps per HBM sweep.
+
+The block kernel (ops/fused_pallas.py) is bound by the f read+write streams:
+beyond the chip's ~75 MB fast-memory regime the measured streaming rate is
+~300-400 GB/s, and removing any other stream (obstacles, ghost groups) or
+even all collision arithmetic does not change its step time.  The only way
+to go faster is to move fewer bytes per step.
+
+This kernel advances each VMEM-resident block K timesteps in one sweep, so
+the f arrays cross HBM once per K steps instead of once per step — the
+temporal analog of the reference's fused-sweep optimization
+(OpenMP/d2q9-bgk.c:260-498 fuses all per-step passes into one memory sweep;
+here K whole steps fuse into one sweep).  Traffic per step drops ~K-fold at
+the cost of a slightly larger ghost fetch and K-1 small boundary-row
+recomputations per block.
+
+Dataflow (view rows; one original row = ``fold`` view rows, F below):
+
+- level 0 is the input state x = f(t); level l is f(t+l); the block owns
+  output rows [iB, iB+B) of level K;
+- level l is computed over rows [iB, iB+B+(K-l)F): each level keeps (K-l)
+  extra original rows ABOVE the body, feeding level l+1's top row.  The
+  level-0 upper rows ride the pipeline as the same aligned modular-indexed
+  ghost-group fetch the single-step kernel uses;
+- the F view rows just BELOW the block at every level are carried in VMEM
+  scratch from block i-1 (grid steps run sequentially), one carry ref per
+  level — the temporal generalization of the single-step kernel's
+  ghost-row scratch;
+- block 0 has no carries: the rows below it are the periodic wrap rows at
+  the TOP of the grid, whose level-l values are not computed yet this
+  sweep.  They are recomputed locally from the last K original rows of x
+  (``lo_ref``) via a small triangular seam chain — bitwise identical to the
+  values the last block will produce, since the inputs and operation order
+  are identical;
+- per-level |u| partials accumulate into a (K, 1) SMEM cell; the sweep
+  returns one tot_u per timestep, bitwise-summed in block order.
+
+All cell math is ops/stencil_math.py, so fields stay bitwise-identical to K
+applications of the jnp / single-step Pallas step (tested).  With
+``storage='i16'`` only the HBM state is int16 fixed-point (ops/quant.py);
+every intermediate level stays f32 in VMEM, so quantization error is paid
+once per K steps instead of every step.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lbm_tpu.core import lattice
+from lbm_tpu.ops import fused_pallas, quant, stencil_math
+from lbm_tpu.params import LBMParams
+
+F32 = jnp.float32
+NS = lattice.NSPEEDS
+LANE = fused_pallas.LANE
+
+# Scoped-VMEM budget (bytes): margin under the 16 MiB hardware limit.
+_VMEM_BUDGET = int(15.2 * 1024 * 1024)
+
+
+def _align8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
+def _obst_rows(b: int, K: int, F: int) -> int:
+    """Aligned obstacle-block rows: [body b | above K*F | lo F | seam K*F]."""
+    return _align8(b + 2 * K * F + F)
+
+
+def _footprint(b: int, nx: int, K: int, F: int, f_bytes: int) -> int:
+    """Estimated scoped-VMEM bytes at block height ``b`` (calibrated like
+    fused_pallas._kernel_footprint: pipeline double buffers + the live
+    f32 level-chain values)."""
+    KF = K * F
+    G = _align8(KF)
+    return (
+        # pipeline: 2x body in, 2x body out, 2x ghost group, lo_ref
+        f_bytes * NS * nx * (4 * b + 2 * G + KF)
+        # live f32 chain: ~4 buffers of (b + KF) rows (piece, streamed, out)
+        + 4 * NS * (b + KF) * nx * 4
+        # obstacle double buffer + per-level carries
+        + 2 * _obst_rows(b, K, F) * nx * 4
+        + NS * K * F * nx * 4
+    )
+
+
+def _plan(n_rows: int, nx: int, K: int, clone_nx: int | None = None):
+    """Choose (fold, rows_v, nx_v, G, block_rows); raises ValueError when no
+    layout fits VMEM."""
+    fold = 1 if clone_nx is not None else fused_pallas._fold_factor(nx)
+    rows_v, nx_v = n_rows * fold, nx // fold
+    G = _align8(K * fold)
+    best = None
+    for b in range(G, rows_v + 1, G):
+        if rows_v % b:
+            continue
+        if _footprint(b, nx_v, K, fold, 4) <= _VMEM_BUDGET:
+            best = b
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"no {G}-aligned row block of a {n_rows}x{nx} grid fits the "
+            f"VMEM budget for the K={K} temporal kernel"
+        )
+    return fold, rows_v, nx_v, G, best
+
+
+def supports(params: LBMParams, K: int, clone_nx: int | None = None) -> bool:
+    """True when the K-step sweep can map this grid.
+
+    Beyond the block-kernel constraints, the driven row must not sit in the
+    first K rows: the last block's wrapped upper ghost rows reuse the plain
+    global-row arithmetic, which only stays exact when the accel row cannot
+    appear among wrapped rows (it is ny-2 in every reference scene)."""
+    if K < 2 or params.nx % LANE != 0:
+        return False
+    if params.accel_row < K or params.ny < 2 * K:
+        return False
+    try:
+        _plan(params.ny, params.nx, K, clone_nx)
+    except ValueError:
+        return False
+    return True
+
+
+def _sweep_kernel(
+    row_off_ref,  # (1, 1) int32 SMEM: global ORIGINAL row of local row 0
+    f_ref,  # (NS, B, nx_v) VMEM: level-0 body rows (auto-pipelined)
+    ghi_ref,  # (NS, G, nx_v) VMEM: ghost group starting at view row (i+1)B
+    lo_ref,  # (NS, K*F, nx_v) VMEM: last K original rows of x (seam chain)
+    obst_ref,  # (1, P, nx_v) VMEM: [body B | above KF | lo F | seam KF | pad]
+    out_ref,  # (NS, B, nx_v) VMEM: level-K body rows
+    av_ref,  # (K, 1) f32 SMEM: per-level |u| accumulators
+    *carries,  # K VMEM scratch refs (NS, F, nx_v): level-l rows [iB-F, iB)
+    block_rows: int,
+    K: int,
+    fold: int,
+    omega: float,
+    accel_row: int,
+    w1a: float,
+    w2a: float,
+    ny_orig: int,
+    clone_nx: int | None = None,
+    storage: str = "f32",
+    density: float = 0.0,
+):
+    i = pl.program_id(0)
+    B = block_rows
+    F = fold
+    KF = K * F
+    start = pl.multiple_of(i * B, B)
+    row_off = row_off_ref[0, 0]
+    at_lo_edge = i == 0
+
+    if storage == "i16":
+        def deq(x, k):
+            return quant.dequantize_plane(x, k, density)
+
+        def enq(x, k):
+            return quant.quantize_plane(x, k, density)
+
+    else:
+        def deq(x, k):
+            return x
+
+        def enq(x, k):
+            return x
+
+    w1 = F32(w1a)
+    w2 = F32(w2a)
+    om = F32(omega)
+
+    def refresh_clones(planes):
+        """Lane-padding: overwrite the two wrap-image clone columns with
+        their source columns, once per level (see fused_pallas)."""
+        if clone_nx is None:
+            return planes
+        rows = planes[0].shape[0]
+        nxt = planes[0].shape[1]
+        lanes = jax.lax.broadcasted_iota(jnp.int32, (rows, nxt), 1)
+        outp = []
+        for p in planes:
+            p = jnp.where(lanes == clone_nx, p[:, 0:1], p)
+            p = jnp.where(lanes == nxt - 1, p[:, clone_nx - 1 : clone_nx], p)
+            outp.append(p)
+        return outp
+
+    # --- gather level-0 pieces -------------------------------------------
+    body = [deq(f_ref[k], k) for k in range(NS)]
+    up = [deq(ghi_ref[k, 0:KF], k) for k in range(NS)]
+    piece = [jnp.concatenate([body[k], up[k]], axis=0) for k in range(NS)]
+    seam_prev = [deq(lo_ref[k], k) for k in range(NS)]  # x rows ny-K..ny-1
+
+    obst_body_above = obst_ref[0, 0 : B + KF, :]  # rows [iB, iB+B+KF)
+    obst_lo = obst_ref[0, B + KF : B + KF + F, :]  # rows [iB-F, iB)
+    obst_seam = obst_ref[0, B + KF + F : B + KF + F + KF, :]  # rows ny-K..ny-1
+
+    # Original-row index of piece row r (wrapped upper rows of the last
+    # block evaluate out of range, which is safe: supports() guarantees the
+    # accel row is not among the first K rows).
+    piece_iota = jax.lax.broadcasted_iota(jnp.int32, (B + KF, 1), 0)
+    piece_org = row_off + (start + piece_iota) // F
+    seam_iota = jax.lax.broadcasted_iota(jnp.int32, (KF, 1), 0)
+    seam_org = ny_orig - K + seam_iota // F
+
+    def seam_step(s_prev, first_rows):
+        """Advance the KF-row seam strip one level: the level-l values of
+        the last K original rows from the level-(l-1) strip plus the main
+        chain's level-(l-1) rows [iB, iB+F).
+
+        Runs ONLY at block 0 (under pl.when): the strip is dead weight for
+        every other block, and tracing it unconditionally costs nb times
+        its work per sweep (measured: it erased most of the temporal win).
+
+        The strip keeps a fixed KF-row shape; validity shrinks by F rows
+        per level from the BOTTOM (the lowest lF rows after l steps are
+        garbage, refilled from the strip's own bottom rows), which leaves
+        exactly the (K-l)F rows a block-0 consumer at level l+1 needs.  The
+        valid rows are bitwise identical to the values the last block
+        computes for the same rows, since inputs and operation order match.
+
+        Mosaic layout note (applies to the main chain too): every input to
+        the lane rotation must carry the canonical vector layout, so each
+        row window is materialized as a two-part row-concatenate rather
+        than a raw offset slice."""
+        in_s = [
+            jnp.concatenate([s_prev[k], first_rows[k]], axis=0)
+            for k in range(NS)
+        ]
+        obst_in = jnp.concatenate([obst_seam, obst_body_above[:F]], axis=0)
+        org_in = jnp.concatenate([seam_org, piece_org[:F]], axis=0)
+        acc = stencil_math.accel_planes(
+            in_s, obst_in < F32(0.75), org_in == accel_row, w1, w2
+        )
+        streamed = []
+        for k in range(NS):
+            cy = lattice.CY[k]
+            if cy == 1:
+                rows = jnp.concatenate(
+                    [acc[k][:F], acc[k][: KF - F]], axis=0
+                )
+            elif cy == -1:
+                rows = jnp.concatenate(
+                    [acc[k][F:KF], acc[k][KF : KF + F]], axis=0
+                )
+            else:
+                rows = acc[k][:KF]
+            streamed.append(fused_pallas._fold_roll_x(rows, lattice.CX[k], F))
+        rho, u_x, u_y = stencil_math.moments(streamed)
+        u_sq = u_x * u_x + u_y * u_y
+        s_l = stencil_math.collide(
+            streamed, obst_seam > F32(0.25), om, rho, u_x, u_y, u_sq
+        )
+        return refresh_clones(s_l)
+
+    # --- level chain ------------------------------------------------------
+    # Entering level l, ``piece`` holds level l-1 over rows
+    # [iB, iB+B+(K-l+1)F); the level-(l-1) wrap strip sits in seam_ref
+    # (written by block 0 at the previous level; level 1 reads lo_ref
+    # directly).  Carries update AFTER consumption so block i+1 reads this
+    # block's level-(l-1) boundary row.
+    seam_ref = carries[K]
+    for l in range(1, K + 1):
+        T = B + (K - l) * F
+        R = T + F  # rows of the incoming piece
+        carry = carries[l - 1]
+        seam_prev = (
+            seam_prev if l == 1 else [seam_ref[k] for k in range(NS)]
+        )
+        lo = [
+            jnp.where(at_lo_edge, seam_prev[k][-F:], carry[k])
+            for k in range(NS)
+        ]
+        lo_org = jnp.where(
+            at_lo_edge, ny_orig - 1, row_off + start // F - 1
+        )
+        lo_is_accel = lo_org == accel_row
+        lo_fluid = (
+            jnp.where(at_lo_edge, obst_seam[KF - F :], obst_lo) < F32(0.75)
+        )
+        first_rows = [piece[k][:F] for k in range(NS)]
+        for k in range(NS):
+            carry[k] = piece[k][B - F : B]
+
+        acc = stencil_math.accel_planes(
+            piece, obst_body_above[:R] < F32(0.75),
+            piece_org[:R] == accel_row, w1, w2,
+        )
+        lo_acc = stencil_math.accel_planes(lo, lo_fluid, lo_is_accel, w1, w2)
+        streamed = []
+        for k in range(NS):
+            cy = lattice.CY[k]
+            if cy == 1:
+                rows = jnp.concatenate([lo_acc[k], acc[k][: T - F]], axis=0)
+            elif cy == -1:
+                # Two-part concat (not a raw [F : T+F] slice): lane rotation
+                # requires the canonical layout a concatenate produces.
+                rows = jnp.concatenate(
+                    [acc[k][F:T], acc[k][T : T + F]], axis=0
+                )
+            else:
+                rows = acc[k][:T]
+            streamed.append(fused_pallas._fold_roll_x(rows, lattice.CX[k], F))
+        rho, u_x, u_y = stencil_math.moments(streamed)
+        u_sq = u_x * u_x + u_y * u_y
+        obst_T = obst_body_above[:T]
+        out = stencil_math.collide(
+            streamed, obst_T > F32(0.25), om, rho, u_x, u_y, u_sq
+        )
+        piece = refresh_clones(out)
+        # av-fluid excludes walls AND clone columns (encoding 0.5), unlike
+        # the accel-fluid mask (< 0.75) which lets clones take the injection.
+        partial = stencil_math.speed_sum(
+            u_sq[:B], jnp.logical_not(obst_T[:B] > F32(0.25))
+        )
+
+        @pl.when(i == 0)
+        def _():
+            av_ref[l - 1, 0] = partial
+
+        @pl.when(i != 0)
+        def _():
+            av_ref[l - 1, 0] = av_ref[l - 1, 0] + partial
+
+        if l < K:
+
+            @pl.when(i == 0)
+            def _(s_prev=seam_prev, fr=first_rows):
+                s_new = seam_step(s_prev, fr)
+                for k in range(NS):
+                    seam_ref[k] = s_new[k]
+
+    for k in range(NS):
+        out_ref[k] = enq(piece[k], k)
+
+
+def _block_obstacles(
+    obst_v: np.ndarray, B: int, K: int, F: int
+) -> np.ndarray:
+    """Per-block aligned obstacle layout (nb, P, nx_v) float32:
+    [body B | above K*F | lo F | seam K*F | pad]."""
+    rows_v, nx_v = obst_v.shape
+    nb = rows_v // B
+    KF = K * F
+    P = _obst_rows(B, K, F)
+    ext = np.concatenate([obst_v, obst_v, obst_v], axis=0)  # wrap both ways
+    out = np.zeros((nb, P, nx_v), dtype=np.float32)
+    for i in range(nb):
+        s = rows_v + i * B  # body start inside ext
+        out[i, 0 : B + KF] = ext[s : s + B + KF]
+        out[i, B + KF : B + KF + F] = ext[s - F : s]
+        out[i, B + KF + F : B + KF + F + KF] = obst_v[rows_v - KF :]
+    return out
+
+
+def make_sweep(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    K: int,
+    interpret: bool | None = None,
+    clone_cols_nx: int | None = None,
+    folded_io: bool = False,
+    storage: str = "f32",
+):
+    """Build ``f -> (f_after_K_steps, tot_u (K,))`` for a periodic grid.
+
+    With ``folded_io`` the state arrives and stays in the folded
+    (9, ny*F, 1024) view.  ``storage='i16'`` stores HBM state as int16
+    fixed-point; intermediate levels stay f32 (ops/quant.py)."""
+    ny, nx = obstacles.shape
+    if not supports(params, K):
+        raise ValueError(
+            f"temporal kernel (K={K}) cannot map a {ny}x{nx} grid"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    F, rows_v, nx_v, G, B = _plan(ny, nx, K, clone_cols_nx)
+    if folded_io and F == 1:
+        raise ValueError("folded_io requires a foldable width (nx = F*1024)")
+    nb = rows_v // B
+    KF = K * F
+    w1a, w2a = lattice.accel_weights(params.density, params.accel)
+
+    gB = B // G
+    nG = rows_v // G
+    ghi_spec = pl.BlockSpec(
+        (NS, G, nx_v), lambda i: (0, (i * gB + gB) % nG, 0),
+        memory_space=pltpu.VMEM,
+    )
+
+    kernel = functools.partial(
+        _sweep_kernel,
+        block_rows=B,
+        K=K,
+        fold=F,
+        omega=float(params.omega),
+        accel_row=params.accel_row,
+        w1a=float(w1a),
+        w2a=float(w2a),
+        ny_orig=params.ny,
+        clone_nx=clone_cols_nx,
+        storage=storage,
+        density=float(params.density),
+    )
+    f_dtype = jnp.int16 if storage == "i16" else jnp.float32
+    f_bytes = 2 if storage == "i16" else 4
+    P = _obst_rows(B, K, F)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # row_offset (1, 1)
+            pl.BlockSpec(
+                (NS, B, nx_v), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            ghi_spec,
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # lo_ref (NS, KF, nx_v)
+            pl.BlockSpec(
+                (1, P, nx_v), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (NS, B, nx_v), lambda i: (0, i, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec((K, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=(
+            # K per-level boundary-row carries + the block-0 seam strip.
+            [pltpu.VMEM((NS, F, nx_v), jnp.float32) for _ in range(K)]
+            + [pltpu.VMEM((NS, K * F, nx_v), jnp.float32)]
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((NS, rows_v, nx_v), f_dtype),
+            jax.ShapeDtypeStruct((K, 1), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=K * 160 * ny * nx,
+            bytes_accessed=2 * NS * ny * nx * f_bytes + ny * nx * 4,
+            transcendentals=K * ny * nx,
+        ),
+    )
+
+    obst_f = (
+        fused_pallas.clone_col_encoding(obstacles, clone_cols_nx)
+        if clone_cols_nx is not None
+        else obstacles.astype(np.float32)
+    )
+    obst_v = obst_f.reshape(rows_v, nx_v)
+    obst_blocks = jnp.asarray(_block_obstacles(obst_v, B, K, F))
+    row_off = jnp.zeros((1, 1), dtype=jnp.int32)
+
+    def sweep(f):
+        new_f, tot = call(row_off, f, f, f[:, rows_v - KF :, :], obst_blocks)
+        return new_f, tot[:, 0]
+
+    return sweep
+
+
+def pick_k(params: LBMParams, storage: str = "f32") -> int:
+    """Depth heuristic, from measured v5e rates (BENCHMARKS.md): while the
+    two f buffers ride the ~75 MB fast-memory regime the single-step kernel
+    is already DMA/compute balanced and the sweep's per-level overhead makes
+    temporal blocking a net loss (1024^2 f32: 14.9k vs 15.5-17k MLUPS), so
+    it stays off; once DRAM-bound it wins big (2048^2 f32: 12.2k vs 4.1k at
+    K=4).  Override with LBM_TEMPORAL_K (1 disables)."""
+    import os
+
+    env = os.environ.get("LBM_TEMPORAL_K")
+    if env:
+        return int(env)
+    f_bytes = 2 if storage == "i16" else 4
+    working_set = 2 * NS * params.ny * params.nx * f_bytes
+    return 1 if working_set <= 80 * 1024 * 1024 else 4
+
+
+def make_run_all(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    num_steps: int,
+    K: int,
+    interpret: bool | None = None,
+    clone_cols_nx: int | None = None,
+    folded_io: bool = False,
+    storage: str = "f32",
+):
+    """Whole-run fast path: ``f0 -> (f_final, tot_us (num_steps,))`` as a
+    scan over K-step sweeps plus single-step remainder launches (bitwise
+    equal to num_steps single steps on fields)."""
+    sweep = make_sweep(
+        params, obstacles, K, interpret,
+        clone_cols_nx=clone_cols_nx, folded_io=folded_io, storage=storage,
+    )
+    n_sweeps, rem = divmod(num_steps, K)
+    step_rem = None
+    if rem:
+        step_rem = fused_pallas.make_step(
+            params, obstacles, interpret,
+            clone_cols_nx=clone_cols_nx, folded_io=folded_io, storage=storage,
+        )
+
+    def run_all(f):
+        tot_parts = []
+        if n_sweeps:
+            f, tots = lax.scan(
+                lambda f, _: sweep(f), f, None, length=n_sweeps
+            )
+            tot_parts.append(tots.reshape(-1))
+        for _ in range(rem):
+            f, tot = step_rem(f)
+            tot_parts.append(tot[None])
+        if not tot_parts:
+            return f, jnp.zeros((0,), dtype=jnp.float32)
+        return f, (
+            jnp.concatenate(tot_parts) if len(tot_parts) > 1 else tot_parts[0]
+        )
+
+    return run_all

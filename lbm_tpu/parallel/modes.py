@@ -122,12 +122,47 @@ def _u_mag_fn(obstacles: jax.Array) -> Callable[[jax.Array], jax.Array]:
     return u_mag
 
 
+def _temporal_run_all(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    storage: str = "f32",
+    clone_cols_nx: int | None = None,
+    folded_io: bool = False,
+    temporal_k: int | None = None,
+):
+    """make_run_all hook running K timesteps per HBM sweep
+    (ops/temporal_pallas.py), or None when the grid can't map it.
+
+    ``temporal_k``: None picks the depth heuristically, 1 disables the
+    temporal path, >=2 forces a depth."""
+    from lbm_tpu.ops import temporal_pallas
+
+    K = (
+        temporal_k
+        if temporal_k is not None
+        else temporal_pallas.pick_k(params, storage)
+    )
+    if K < 2 or not temporal_pallas.supports(params, K, clone_cols_nx):
+        return None
+
+    obst = np.asarray(obstacles)
+
+    def make_run_all(num_steps):
+        return temporal_pallas.make_run_all(
+            params, obst, num_steps, K,
+            clone_cols_nx=clone_cols_nx, folded_io=folded_io, storage=storage,
+        )
+
+    return make_run_all
+
+
 def build_single_program(
     params: LBMParams,
     obstacles: np.ndarray,
     f0: np.ndarray | None = None,
     backend: str = "jnp",
     storage: str = "f32",
+    temporal_k: int | None = None,
 ) -> StepProgram:
     """Single-device program (periodic full grid); ``backend`` selects the
     jnp step or the Pallas kernel.
@@ -145,9 +180,11 @@ def build_single_program(
     if storage == "i16":
         if backend != "pallas":
             raise ValueError("storage 'i16' requires the pallas backend")
-        return _i16_single_program(params, obstacles, f0)
+        return _i16_single_program(params, obstacles, f0, temporal_k)
     if backend == "pallas" and params.nx % 128:
-        prog = _lane_padded_single_program(params, obstacles, f0)
+        prog = _lane_padded_single_program(
+            params, obstacles, f0, temporal_k=temporal_k
+        )
         if prog is not None:
             return prog
     if f0 is None:
@@ -174,7 +211,16 @@ def build_single_program(
                 # lanes across the whole run — per-step reshapes are real
                 # TPU relayout copies, and Mosaic per-cell cost degrades
                 # badly past 1024 lanes.
-                return _folded_single_program(params, obstacles, f0)
+                return _folded_single_program(
+                    params, obstacles, f0, temporal_k=temporal_k
+                )
+            if make_run_all is None:
+                # Grids too big for the resident kernel: K timesteps per
+                # HBM sweep (the state streams are the whole step cost —
+                # BENCHMARKS.md roofline).
+                make_run_all = _temporal_run_all(
+                    params, obstacles, temporal_k=temporal_k
+                )
             kernel_step = fused_pallas.make_step(params, np.asarray(obstacles))
 
             def step(f):
@@ -242,7 +288,10 @@ def sharded_pallas_supported(ny: int, nx: int, num_shards: int) -> bool:
 
 
 def _i16_single_program(
-    params: LBMParams, obstacles: np.ndarray, f0: np.ndarray | None
+    params: LBMParams,
+    obstacles: np.ndarray,
+    f0: np.ndarray | None,
+    temporal_k: int | None = None,
 ) -> StepProgram:
     """Single-device program with int16 fixed-point state (ops/quant.py).
 
@@ -252,7 +301,9 @@ def _i16_single_program(
     from lbm_tpu.ops import fused_pallas
 
     if params.nx % 128:
-        prog = _lane_padded_single_program(params, obstacles, f0, storage="i16")
+        prog = _lane_padded_single_program(
+            params, obstacles, f0, storage="i16", temporal_k=temporal_k
+        )
         if prog is None:
             raise ValueError(
                 f"storage 'i16' requires the pallas block kernel, which "
@@ -265,7 +316,9 @@ def _i16_single_program(
             f"map a {params.ny}x{params.nx} grid"
         )
     if fused_pallas._fold_factor(params.nx) > 1:
-        return _folded_single_program(params, obstacles, f0, storage="i16")
+        return _folded_single_program(
+            params, obstacles, f0, storage="i16", temporal_k=temporal_k
+        )
     from lbm_tpu.ops import quant, resident_pallas
 
     if resident_pallas.supports(params):
@@ -298,7 +351,9 @@ def _i16_single_program(
         tot_cells=int(obstacles.size - np.count_nonzero(obstacles)),
         mesh=None,
         variant="pallas-i16",
-        make_run_all=None,
+        make_run_all=_temporal_run_all(
+            params, obstacles, storage="i16", temporal_k=temporal_k
+        ),
         global_shape=(params.ny, params.nx),
         backend="pallas",
     )
@@ -309,6 +364,7 @@ def _folded_single_program(
     obstacles: np.ndarray,
     f0: np.ndarray | None,
     storage: str = "f32",
+    temporal_k: int | None = None,
 ) -> StepProgram:
     """Single-device program for wide grids with folded state storage.
 
@@ -348,7 +404,10 @@ def _folded_single_program(
         tot_cells=tot_cells,
         mesh=None,
         variant=variant,
-        make_run_all=None,
+        make_run_all=_temporal_run_all(
+            params, obstacles, storage=storage, folded_io=True,
+            temporal_k=temporal_k,
+        ),
         global_shape=(ny, nx),
         backend="pallas",
     )
@@ -359,6 +418,7 @@ def _lane_padded_single_program(
     obstacles: np.ndarray,
     f0: np.ndarray | None,
     storage: str = "f32",
+    temporal_k: int | None = None,
 ) -> StepProgram | None:
     """Wrap the Pallas single-device program in lane padding, or None if the
     block kernel cannot map even the padded grid."""
@@ -394,10 +454,12 @@ def _lane_padded_single_program(
         tot_cells=tot_cells,
         mesh=None,
         variant=variant,
-        # The VMEM-resident whole-run path cannot interleave the clone
-        # refresh between its in-kernel steps; padded grids use the per-step
-        # block kernel.
-        make_run_all=None,
+        # The temporal sweep refreshes the clone columns at every level, so
+        # padded grids get the K-steps-per-sweep path too.
+        make_run_all=_temporal_run_all(
+            padded, obst_p, storage=storage, clone_cols_nx=nx,
+            temporal_k=temporal_k,
+        ),
         global_shape=(params.ny, padded.nx),
         backend="pallas",
     )

@@ -127,9 +127,15 @@ def test_i16_rejects_unsupported_variants(scene):
 def test_sharded_i16_matches_single_device_i16():
     """sync sharding is a pure decomposition: the i16 state evolution over
     8 shards must match the single-device i16 run (both run the same kernel
-    math on dequantized values; CPU interpret leaves ~1-lsb noise)."""
+    math on dequantized values; CPU interpret leaves ~1-lsb noise).
+
+    temporal_k=1 pins the single-device baseline to per-step quantization:
+    the default temporal sweep requantizes once per K steps (deliberately
+    more accurate), which is not the sharded kernels' evolution."""
     sc = _box_scene(16, 128, 20)
-    single = run_simulation(sc, RunConfig(variant="pallas", storage="i16"))
+    single = run_simulation(
+        sc, RunConfig(variant="pallas", storage="i16", temporal_k=1)
+    )
     for variant in ("sync", "overlap"):
         res = run_simulation(
             sc, RunConfig(variant=variant, num_devices=8, storage="i16")
