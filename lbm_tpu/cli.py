@@ -25,13 +25,16 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
         "--variant",
         default="auto",
         help="solver variant: serial | jnp | pallas | sync | overlap | async | "
-        "async-k | chunked (aliases: openmp, mpi, waitall, testall); default auto",
+        "async-k | chunked | ca (aliases: openmp, mpi, waitall, testall); "
+        "default auto.  ca = communication-avoiding: one K-deep halo "
+        "exchange per K steps, bitwise-exact vs sync",
     )
     p.add_argument("--devices", type=int, default=None, help="mesh size for sharded variants")
     p.add_argument(
         "--staleness", type=int, default=None,
-        help="halo age for async variants / chunk length for chunked "
-        "(default: async 1, async-k 2, chunked 2)",
+        help="halo age for async variants / chunk length for chunked / "
+        "exchange depth K for ca (default: async 1, async-k 2, chunked 2, "
+        "ca 4)",
     )
     p.add_argument(
         "--backend", choices=["jnp", "pallas"], default=None,

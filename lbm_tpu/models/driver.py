@@ -152,10 +152,10 @@ def build_program(
             params, obst, f0=f0, backend=backend, storage=config.storage,
             temporal_k=config.temporal_k,
         )
-    if variant in ("sync", "overlap", "async", "async-k", "chunked"):
+    if variant in ("sync", "overlap", "async", "async-k", "chunked", "ca"):
         mesh = mesh_lib.make_row_mesh(config.num_devices)
         mode = {"async-k": "async"}.get(variant, variant)
-        defaults = {"async": 1, "async-k": 2, "chunked": 2}
+        defaults = {"async": 1, "async-k": 2, "chunked": 2, "ca": 4}
         if variant in defaults:
             staleness = (
                 config.staleness if config.staleness is not None else defaults[variant]

@@ -80,6 +80,14 @@ VARIANTS: dict[str, VariantSpec] = {
         "Row-sharded; halos exchanged every k steps, k local steps between "
         "exchanges (ghost age 1..k) — collective latency amortized k-fold.",
     ),
+    "ca": VariantSpec(
+        "ca",
+        "beyond the reference (communication-avoiding stencil schedule)",
+        True,
+        "Row-sharded; one K-deep raw halo exchange per K steps, boundary "
+        "levels recomputed locally in the temporal slab sweep — results "
+        "bitwise-equal to sync with collectives amortized K-fold.",
+    ),
 }
 
 _ALIASES = {

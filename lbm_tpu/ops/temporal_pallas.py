@@ -92,12 +92,36 @@ def _footprint(b: int, nx: int, K: int, F: int, f_bytes: int) -> int:
     )
 
 
-def _plan(n_rows: int, nx: int, K: int, clone_nx: int | None = None):
+# Measured-good block heights per (storage, fold, K) at nx_v=1024 on v5e.
+# The analytic footprint model is deliberately conservative (Mosaic's actual
+# stack allocation reuses chain buffers it cannot predict); these configs
+# were compile- and run-verified, and each larger-B entry measured faster
+# than its conservative-B fallback (BENCHMARKS.md).  OOM-verified rejects:
+# f32 fold=2 K=8 B=64 (16.64M), i16 fold=4 K=8 B=64 (17.85M).
+_TUNED_B = {
+    ("f32", 1, 2): 64,
+    ("f32", 2, 4): 64,
+    ("i16", 2, 4): 64,
+    ("i16", 2, 8): 64,
+    ("i16", 4, 4): 64,
+}
+
+
+def _plan(
+    n_rows: int,
+    nx: int,
+    K: int,
+    clone_nx: int | None = None,
+    storage: str = "f32",
+):
     """Choose (fold, rows_v, nx_v, G, block_rows); raises ValueError when no
     layout fits VMEM."""
     fold = 1 if clone_nx is not None else fused_pallas._fold_factor(nx)
     rows_v, nx_v = n_rows * fold, nx // fold
     G = _align8(K * fold)
+    tuned = _TUNED_B.get((storage, fold, K))
+    if tuned and nx_v == 1024 and rows_v % tuned == 0 and tuned % G == 0:
+        return fold, rows_v, nx_v, G, tuned
     best = None
     for b in range(G, rows_v + 1, G):
         if rows_v % b:
@@ -133,10 +157,15 @@ def supports(params: LBMParams, K: int, clone_nx: int | None = None) -> bool:
 
 
 def _sweep_kernel(
-    row_off_ref,  # (1, 1) int32 SMEM: global ORIGINAL row of local row 0
+    rows_ref,  # (1, 2) int32 SMEM: [global ORIGINAL row of local row 0,
+    #            global ORIGINAL row of lo_ref's first row]
     f_ref,  # (NS, B, nx_v) VMEM: level-0 body rows (auto-pipelined)
     ghi_ref,  # (NS, G, nx_v) VMEM: ghost group starting at view row (i+1)B
-    lo_ref,  # (NS, K*F, nx_v) VMEM: last K original rows of x (seam chain)
+    lo_ref,  # (NS, K*F, nx_v) VMEM: the K original rows BELOW the shard
+    #          (single device: the wrap rows, i.e. the last K rows of x)
+    hi_ref,  # (NS, K*F, nx_v) VMEM: the K original rows ABOVE the shard
+    #          (single device: the wrap rows, i.e. the first K rows of x);
+    #          selected by the top block in place of the wrapped ghost group
     obst_ref,  # (1, P, nx_v) VMEM: [body B | above KF | lo F | seam KF | pad]
     out_ref,  # (NS, B, nx_v) VMEM: level-K body rows
     av_ref,  # (K, 1) f32 SMEM: per-level |u| accumulators
@@ -148,18 +177,20 @@ def _sweep_kernel(
     accel_row: int,
     w1a: float,
     w2a: float,
-    ny_orig: int,
     clone_nx: int | None = None,
     storage: str = "f32",
     density: float = 0.0,
 ):
     i = pl.program_id(0)
+    nb = pl.num_programs(0)
     B = block_rows
     F = fold
     KF = K * F
     start = pl.multiple_of(i * B, B)
-    row_off = row_off_ref[0, 0]
+    row_off = rows_ref[0, 0]
+    lo_row0 = rows_ref[0, 1]
     at_lo_edge = i == 0
+    at_hi_edge = i == nb - 1
 
     if storage == "i16":
         def deq(x, k):
@@ -196,21 +227,25 @@ def _sweep_kernel(
 
     # --- gather level-0 pieces -------------------------------------------
     body = [deq(f_ref[k], k) for k in range(NS)]
-    up = [deq(ghi_ref[k, 0:KF], k) for k in range(NS)]
+    up = [
+        deq(jnp.where(at_hi_edge, hi_ref[k], ghi_ref[k, 0:KF]), k)
+        for k in range(NS)
+    ]
     piece = [jnp.concatenate([body[k], up[k]], axis=0) for k in range(NS)]
-    seam_prev = [deq(lo_ref[k], k) for k in range(NS)]  # x rows ny-K..ny-1
+    seam_prev = [deq(lo_ref[k], k) for k in range(NS)]  # x below the shard
 
     obst_body_above = obst_ref[0, 0 : B + KF, :]  # rows [iB, iB+B+KF)
     obst_lo = obst_ref[0, B + KF : B + KF + F, :]  # rows [iB-F, iB)
-    obst_seam = obst_ref[0, B + KF + F : B + KF + F + KF, :]  # rows ny-K..ny-1
+    # Obstacles of the K rows below the shard (single device: the wrap rows)
+    obst_seam = obst_ref[0, B + KF + F : B + KF + F + KF, :]
 
-    # Original-row index of piece row r (wrapped upper rows of the last
-    # block evaluate out of range, which is safe: supports() guarantees the
-    # accel row is not among the first K rows).
+    # Original-row index of piece row r (the top block's ghost rows of a
+    # PERIODIC grid evaluate out of range, which is safe: supports()
+    # guarantees the accel row is not among the first K rows).
     piece_iota = jax.lax.broadcasted_iota(jnp.int32, (B + KF, 1), 0)
     piece_org = row_off + (start + piece_iota) // F
     seam_iota = jax.lax.broadcasted_iota(jnp.int32, (KF, 1), 0)
-    seam_org = ny_orig - K + seam_iota // F
+    seam_org = lo_row0 + seam_iota // F
 
     def seam_step(s_prev, first_rows):
         """Advance the KF-row seam strip one level: the level-l values of
@@ -281,7 +316,7 @@ def _sweep_kernel(
             for k in range(NS)
         ]
         lo_org = jnp.where(
-            at_lo_edge, ny_orig - 1, row_off + start // F - 1
+            at_lo_edge, lo_row0 + K - 1, row_off + start // F - 1
         )
         lo_is_accel = lo_org == accel_row
         lo_fluid = (
@@ -377,17 +412,52 @@ def make_sweep(
     (9, ny*F, 1024) view.  ``storage='i16'`` stores HBM state as int16
     fixed-point; intermediate levels stay f32 (ops/quant.py)."""
     ny, nx = obstacles.shape
-    if not supports(params, K):
+    if not supports(params, K, clone_cols_nx):
         raise ValueError(
             f"temporal kernel (K={K}) cannot map a {ny}x{nx} grid"
         )
-    if interpret is None:
-        interpret = jax.default_backend() == "cpu"
-    F, rows_v, nx_v, G, B = _plan(ny, nx, K, clone_cols_nx)
+    call, F, rows_v, nx_v, B = _build_sweep_call(
+        params, ny, nx, K, interpret, clone_cols_nx, storage
+    )
     if folded_io and F == 1:
         raise ValueError("folded_io requires a foldable width (nx = F*1024)")
-    nb = rows_v // B
     KF = K * F
+
+    obst_f = (
+        fused_pallas.clone_col_encoding(obstacles, clone_cols_nx)
+        if clone_cols_nx is not None
+        else obstacles.astype(np.float32)
+    )
+    obst_v = obst_f.reshape(rows_v, nx_v)
+    obst_blocks = jnp.asarray(_block_obstacles(obst_v, B, K, F))
+    # [row of local row 0, row of lo_ref's first row]: periodic wrap ghosts.
+    rows_smem = jnp.asarray([[0, params.ny - K]], dtype=jnp.int32)
+
+    def sweep(f):
+        new_f, tot = call(
+            rows_smem, f, f, f[:, rows_v - KF :, :], f[:, :KF, :], obst_blocks
+        )
+        return new_f, tot[:, 0]
+
+    return sweep
+
+
+def _build_sweep_call(
+    params: LBMParams,
+    n_rows: int,
+    nx: int,
+    K: int,
+    interpret: bool | None,
+    clone_nx: int | None,
+    storage: str,
+):
+    """Shared pallas_call builder for the periodic (make_sweep) and shard
+    (make_slab_sweep) wrappers.  Returns (call, F, rows_v, nx_v, B) where
+    ``call(rows_smem, f, f, lo, hi, obst_blocks) -> (f', tot (K, 1))``."""
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    F, rows_v, nx_v, G, B = _plan(n_rows, nx, K, clone_nx, storage)
+    nb = rows_v // B
     w1a, w2a = lattice.accel_weights(params.density, params.accel)
 
     gB = B // G
@@ -406,8 +476,7 @@ def make_sweep(
         accel_row=params.accel_row,
         w1a=float(w1a),
         w2a=float(w2a),
-        ny_orig=params.ny,
-        clone_nx=clone_cols_nx,
+        clone_nx=clone_nx,
         storage=storage,
         density=float(params.density),
     )
@@ -419,12 +488,13 @@ def make_sweep(
         kernel,
         grid=(nb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # row_offset (1, 1)
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rows (1, 2)
             pl.BlockSpec(
                 (NS, B, nx_v), lambda i: (0, i, 0), memory_space=pltpu.VMEM
             ),
             ghi_spec,
             pl.BlockSpec(memory_space=pltpu.VMEM),  # lo_ref (NS, KF, nx_v)
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # hi_ref (NS, KF, nx_v)
             pl.BlockSpec(
                 (1, P, nx_v), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
             ),
@@ -446,23 +516,90 @@ def make_sweep(
         ),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=K * 160 * ny * nx,
-            bytes_accessed=2 * NS * ny * nx * f_bytes + ny * nx * 4,
-            transcendentals=K * ny * nx,
+            flops=K * 160 * n_rows * nx,
+            bytes_accessed=2 * NS * n_rows * nx * f_bytes + n_rows * nx * 4,
+            transcendentals=K * n_rows * nx,
         ),
     )
+    return call, F, rows_v, nx_v, B
 
-    obst_f = (
-        fused_pallas.clone_col_encoding(obstacles, clone_cols_nx)
-        if clone_cols_nx is not None
-        else obstacles.astype(np.float32)
+
+def supports_shard(
+    params: LBMParams, nloc: int, nx: int, K: int, clone_nx: int | None = None
+) -> bool:
+    """Whether the K-step slab sweep can map an nloc-row shard."""
+    if K < 2 or nx % LANE != 0:
+        return False
+    if params.accel_row < K or nloc < K:
+        return False
+    try:
+        _plan(nloc, nx, K, clone_nx)
+    except ValueError:
+        return False
+    return True
+
+
+def make_slab_sweep(
+    params: LBMParams,
+    nloc: int,
+    nx: int,
+    K: int,
+    interpret: bool | None = None,
+    clone_cols_nx: int | None = None,
+    storage: str = "f32",
+):
+    """Sharded per-shard K-step sweep for the communication-avoiding mode:
+
+    ``(f_shard, lo, hi, obst_ext, row_offset) -> (f', tot_u (K,))``
+
+    where lo/hi are the K original rows adjacent to the shard (exchanged
+    once per sweep) and obst_ext is the (nloc + 2K, nx) ghost-extended
+    obstacle slab.  Advancing K exact steps from K-deep raw halos is the
+    standard communication-avoiding stencil schedule: the boundary levels
+    are recomputed locally (the kernel's seam chain for the lower edge, the
+    in-piece upper strips for the top), so results are bitwise-identical to
+    K synchronous exchanged steps."""
+    if not supports_shard(params, nloc, nx, K, clone_cols_nx):
+        raise ValueError(
+            f"temporal slab sweep (K={K}) cannot map a {nloc}x{nx} shard"
+        )
+    call, F, rows_v, nx_v, B = _build_sweep_call(
+        params, nloc, nx, K, interpret, clone_cols_nx, storage
     )
-    obst_v = obst_f.reshape(rows_v, nx_v)
-    obst_blocks = jnp.asarray(_block_obstacles(obst_v, B, K, F))
-    row_off = jnp.zeros((1, 1), dtype=jnp.int32)
+    KF = K * F
+    nb = rows_v // B
+    P = _obst_rows(B, K, F)
+    pad = jnp.zeros((P - (B + 2 * KF + F), nx_v), dtype=jnp.float32)
 
-    def sweep(f):
-        new_f, tot = call(row_off, f, f, f[:, rows_v - KF :, :], obst_blocks)
+    def sweep(f_shard, lo, hi, obst_ext, row_offset):
+        off = jnp.asarray(row_offset, dtype=jnp.int32)
+        rows_smem = jnp.stack([off, off - K]).reshape(1, 2)
+        if F > 1:
+            # Row-major fold (a relayout copy on TPU, amortized over the
+            # K-step sweep; hot sharded paths should pre-fold upstream).
+            f_shard = f_shard.reshape(NS, rows_v, nx_v)
+            lo = lo.reshape(NS, KF, nx_v)
+            hi = hi.reshape(NS, KF, nx_v)
+        # obst_ext view rows: [0, KF) below, [KF, KF+rows_v) shard,
+        # [KF+rows_v, 2KF+rows_v) above.
+        ob = obst_ext.astype(jnp.float32).reshape((nloc + 2 * K) * F, nx_v)
+        obst_blocks = jnp.stack(
+            [
+                jnp.concatenate(
+                    [
+                        ob[KF + i * B : KF + (i + 1) * B + KF],  # body+above
+                        ob[KF + i * B - F : KF + i * B],  # lo F rows
+                        ob[0:KF],  # the K rows below the shard
+                        pad,
+                    ],
+                    axis=0,
+                )
+                for i in range(nb)
+            ]
+        )
+        new_f, tot = call(rows_smem, f_shard, f_shard, lo, hi, obst_blocks)
+        if F > 1:
+            new_f = new_f.reshape(NS, nloc, nx)
         return new_f, tot[:, 0]
 
     return sweep
@@ -473,8 +610,10 @@ def pick_k(params: LBMParams, storage: str = "f32") -> int:
     two f buffers ride the ~75 MB fast-memory regime the single-step kernel
     is already DMA/compute balanced and the sweep's per-level overhead makes
     temporal blocking a net loss (1024^2 f32: 14.9k vs 15.5-17k MLUPS), so
-    it stays off; once DRAM-bound it wins big (2048^2 f32: 12.2k vs 4.1k at
-    K=4).  Override with LBM_TEMPORAL_K (1 disables)."""
+    it stays off; once DRAM-bound it wins big (2048^2 f32: 14.3k vs 4.1k at
+    K=8; 4096^2 i16: 16.4k vs 8.4k at K=4).  Deep folds cap the depth at 4:
+    K=8 at fold 4 needs a 32-row ghost group that leaves no useful block
+    size.  Override with LBM_TEMPORAL_K (1 disables)."""
     import os
 
     env = os.environ.get("LBM_TEMPORAL_K")
@@ -482,7 +621,9 @@ def pick_k(params: LBMParams, storage: str = "f32") -> int:
         return int(env)
     f_bytes = 2 if storage == "i16" else 4
     working_set = 2 * NS * params.ny * params.nx * f_bytes
-    return 1 if working_set <= 80 * 1024 * 1024 else 4
+    if working_set <= 80 * 1024 * 1024:
+        return 1
+    return 8 if fused_pallas._fold_factor(params.nx) <= 2 else 4
 
 
 def make_run_all(

@@ -580,10 +580,33 @@ def build_sharded_program(
             f"open-seam padding rows but shards have only {nloc} rows; "
             "choose fewer devices"
         )
-    if mode not in ("sync", "overlap", "async", "chunked"):
+    if mode not in ("sync", "overlap", "async", "chunked", "ca"):
         raise ValueError(f"unknown sharded mode {mode!r}")
     if staleness < 1:
         raise ValueError("staleness must be >= 1")
+    if mode == "ca":
+        # Communication-avoiding exact mode: one K-deep raw halo exchange
+        # per K steps, boundary levels recomputed locally in the temporal
+        # slab sweep (ops/temporal_pallas.py) — bitwise-equal to K
+        # synchronous steps, with collective latency amortized K-fold.
+        from lbm_tpu.ops import temporal_pallas
+
+        K_ca = max(2, staleness)
+        nloc_ca = ny // num_shards
+        if open_pad:
+            raise ValueError(
+                "ca mode does not support open-seam row padding; use a "
+                "shard count that divides ny, or the sync/overlap variants"
+            )
+        if backend != "pallas" or not temporal_pallas.supports_shard(
+            params, nloc_ca, nx, K_ca,
+            clone_nx=nx - pad_cols if pad_cols else None,
+        ):
+            raise ValueError(
+                f"ca mode requires the temporal pallas slab sweep, which "
+                f"cannot map {nloc_ca}x{nx} shards at depth K={K_ca}; use "
+                "sync/overlap (or fewer devices / a lane-aligned width)"
+            )
 
     if f0 is None:
         f0 = lattice.equilibrium_rest(params.density, ny, nx)
@@ -760,6 +783,51 @@ def build_sharded_program(
     else:
         ghosted_chunk = None
 
+    if mode == "ca":
+        from lbm_tpu.ops import temporal_pallas
+
+        K_ca = max(2, staleness)
+        ca_sweep = temporal_pallas.make_slab_sweep(
+            params, nloc, nx, K_ca,
+            clone_cols_nx=nx - pad_cols if pad_cols else None,
+            storage=storage,
+        )
+        # K-deep ghost-extended obstacle slabs for the sweep's boundary
+        # recomputation (periodic wrap, like _extended_obstacle_slabs).
+        ca_slabs_host = np.stack(
+            [
+                obst_for_slabs[
+                    np.arange(r * nloc - K_ca, r * nloc + nloc + K_ca) % ny
+                ]
+                for r in range(num_shards)
+            ]
+        )
+        if jax.process_count() > 1:
+            ca_obst_slabs = np.asarray(ca_slabs_host)
+        else:
+            ca_obst_slabs = jax.device_put(
+                jnp.asarray(ca_slabs_host),
+                NamedSharding(mesh, P(ROWS, None, None)),
+            )
+
+    def step_ca(f_local, obst_slab_ext):
+        # Communication-avoiding EXACT discipline (beyond the reference's
+        # ladder): exchange the K raw boundary rows once, then advance K
+        # steps in one temporal sweep that recomputes the halo rows' level
+        # evolution locally.  The standard CA-stencil schedule: same
+        # per-step results as sync (bitwise), one collective per K steps.
+        send_lo = f_local[:, -K_ca:, :]
+        send_hi = f_local[:, :K_ca, :]
+        ghost_lo = lax.ppermute(send_lo, ROWS, fwd)
+        ghost_hi = lax.ppermute(send_hi, ROWS, bwd)
+        f_local, ghost_lo, ghost_hi = lax.optimization_barrier(
+            (f_local, ghost_lo, ghost_hi)
+        )
+        new_f, tots = ca_sweep(
+            f_local, ghost_lo, ghost_hi, obst_slab_ext, shard_row_offset()
+        )
+        return new_f, tots
+
     def step_chunked(carry, obst_slab):
         # Beyond the reference: advance `staleness` steps per halo exchange,
         # with ghost rows frozen for the chunk (age 1..k).  One ppermute pair
@@ -800,10 +868,11 @@ def build_sharded_program(
     f_spec = P(None, ROWS, None)
     slab_spec = P(ROWS, None, None)
 
-    def spmd(per_shard, state_specs):
+    def spmd(per_shard, state_specs, slabs=None):
         """shard_map a per-shard step into a global-state step; the obstacle
         slab rides along and tot_u is psum-reduced (the MPI_Reduce analog,
         MPI/d2q9-bgk.c:298-309)."""
+        slabs = obst_slabs if slabs is None else slabs
 
         def shard_fn(state, obst_slab):
             new_state, tot_u = per_shard(state, obst_slab[0])
@@ -818,7 +887,7 @@ def build_sharded_program(
         )
 
         def step(state):
-            return mapped(state, obst_slabs)
+            return mapped(state, slabs)
 
         return step
 
@@ -826,6 +895,10 @@ def build_sharded_program(
     # over the middle axis, one row per shard, so they reuse f_spec.
     if mode == "sync":
         step = spmd(step_sync, f_spec)
+        init_state = f_init
+        f_of = lambda s: s
+    elif mode == "ca":
+        step = spmd(step_ca, f_spec, slabs=ca_obst_slabs)
         init_state = f_init
         f_of = lambda s: s
     elif mode == "overlap":
@@ -911,9 +984,15 @@ def build_sharded_program(
         tot_cells=tot_cells,
         mesh=mesh,
         variant=f"{mode}"
-        + (f"-{staleness}" if mode in ("async", "chunked") and staleness > 1 else "")
+        + (
+            f"-{staleness}"
+            if mode in ("async", "chunked", "ca") and staleness > 1
+            else ""
+        )
         + ("-i16" if storage == "i16" else ""),
-        steps_per_call=staleness if mode == "chunked" else 1,
+        steps_per_call=(
+            staleness if mode == "chunked" else max(2, staleness) if mode == "ca" else 1
+        ),
         global_shape=(ny, nx),
         backend=backend,
     )

@@ -1,0 +1,102 @@
+"""Communication-avoiding exact mode (``--variant ca``).
+
+One K-deep raw halo exchange per K steps; the temporal slab sweep
+(ops/temporal_pallas.make_slab_sweep) recomputes boundary levels locally,
+so per-step results match the synchronous discipline exactly (bitwise on
+TPU; CPU interpret leaves ~1-ulp noise, hence the tiny atol here).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+
+from lbm_tpu.models.driver import RunConfig, run_simulation
+from lbm_tpu.parallel import mesh as mesh_lib
+from lbm_tpu.parallel import modes
+from lbm_tpu.params import LBMParams
+
+STEPS = 16
+
+
+@pytest.fixture(scope="module")
+def mesh4():
+    return mesh_lib.make_row_mesh(4)
+
+
+@pytest.fixture(scope="module")
+def ca_scene():
+    params = LBMParams(
+        nx=128, ny=32, max_iters=STEPS, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    r = np.random.default_rng(21)
+    mask = r.random((32, 128)) < 0.08
+    mask[0, :] = mask[-1, :] = True
+    return params, mask
+
+
+def _run(prog, steps=STEPS):
+    step = jax.jit(prog.step)
+    st = prog.init_state
+    tots = []
+    for _ in range(steps // prog.steps_per_call):
+        st, tu = step(st)
+        tots.append(np.atleast_1d(np.asarray(tu, np.float32)))
+    return np.asarray(prog.f_of(st)), np.concatenate(tots)
+
+
+@pytest.mark.parametrize("K", [2, 4])
+def test_ca_matches_sync(ca_scene, mesh4, K):
+    params, mask = ca_scene
+    sync = modes.build_sharded_program(params, mask, mesh4, mode="sync")
+    ca = modes.build_sharded_program(
+        params, mask, mesh4, mode="ca", staleness=K
+    )
+    assert ca.steps_per_call == K
+    f_sync, tot_sync = _run(sync)
+    f_ca, tot_ca = _run(ca)
+    np.testing.assert_allclose(f_ca, f_sync, atol=5e-7)
+    np.testing.assert_allclose(tot_ca, tot_sync, rtol=1e-4)
+
+
+def test_ca_i16(ca_scene, mesh4):
+    params, mask = ca_scene
+    ca = modes.build_sharded_program(
+        params, mask, mesh4, mode="ca", staleness=2, storage="i16"
+    )
+    assert ca.variant == "ca-2-i16"
+    f, tots = _run(ca)
+    assert np.all(np.isfinite(f)) and np.all(np.isfinite(tots))
+    # i16 quantization error only (once per sweep), vs the f32 sync run
+    sync = modes.build_sharded_program(params, mask, mesh4, mode="sync")
+    f_sync, _ = _run(sync)
+    assert np.abs(f - f_sync).max() < 1e-4
+
+
+def test_ca_rejects_unmappable_shards(mesh4):
+    # 8 rows over 4 shards -> 2-row shards: below the sweep's block minimum.
+    params = LBMParams(
+        nx=128, ny=8, max_iters=4, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    mask = np.zeros((8, 128), dtype=bool)
+    mask[0, :] = mask[-1, :] = True
+    with pytest.raises(ValueError, match="ca mode requires"):
+        modes.build_sharded_program(params, mask, mesh4, mode="ca", staleness=2)
+
+
+def test_ca_driver_end_to_end(ca_scene):
+    params, mask = ca_scene
+    from lbm_tpu.io.scene import Scene
+
+    scene = Scene(params=params, obstacles=mask)
+    res_ca = run_simulation(
+        scene, RunConfig(variant="ca", num_devices=4, staleness=4)
+    )
+    res_sync = run_simulation(
+        scene, RunConfig(variant="sync", num_devices=4)
+    )
+    assert res_ca.variant == "ca-4"
+    np.testing.assert_allclose(res_ca.f, res_sync.f, atol=5e-7)
+    np.testing.assert_allclose(res_ca.av_vels, res_sync.av_vels, rtol=1e-4)
