@@ -250,6 +250,47 @@ def cmd_golden(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_sweep(args: argparse.Namespace) -> int:
+    """Batched parameter sweep: B variants of one scene in one compiled
+    program (jax.vmap over omega/accel; tools/ensemble.py)."""
+    from lbm_tpu.io import load_scene, write_av_vels
+    from lbm_tpu.tools.ensemble import parse_range, run_ensemble
+
+    _apply_platform(args.platform, args.host_devices)
+    scene = load_scene(args.paramfile, args.obstaclefile)
+    omegas = parse_range(args.omega or str(scene.params.omega))
+    accels = (
+        parse_range(args.accel, count=omegas.size) if args.accel else None
+    )
+    if accels is not None and accels.size == 1 and omegas.size > 1:
+        accels = accels.repeat(omegas.size)
+    if accels is not None and omegas.size == 1 and accels.size > 1:
+        omegas = omegas.repeat(accels.size)
+    res = run_ensemble(
+        scene.params, scene.obstacles, omegas, accels, num_steps=args.steps
+    )
+    os.makedirs(args.out_dir, exist_ok=True)
+    summary = os.path.join(args.out_dir, "sweep_summary.dat")
+    with open(summary, "w") as fh:
+        fh.write("# idx omega accel reynolds final_av_velocity\n")
+        for i in range(res.omegas.size):
+            fh.write(
+                f"{i:d} {res.omegas[i]:.6f} {res.accels[i]:.6f} "
+                f"{res.reynolds[i]:.12E} {res.av_vels[-1, i]:.12E}\n"
+            )
+    if args.av_vels:
+        for i in range(res.omegas.size):
+            write_av_vels(
+                os.path.join(args.out_dir, f"av_vels_{i:03d}.dat"),
+                res.av_vels[:, i],
+            )
+    print(
+        f"swept {res.omegas.size} variants x {res.av_vels.shape[0]} steps "
+        f"in one compiled program; wrote {summary}"
+    )
+    return 0
+
+
 def cmd_speedup(args: argparse.Namespace) -> int:
     from lbm_tpu.tools.speedup import main as speedup_main
 
@@ -308,6 +349,28 @@ def main(argv: list[str] | None = None) -> int:
     p_gold.add_argument("--steps", type=int, default=None)
     p_gold.add_argument("--platform", default=None)
 
+    p_sweep = sub.add_parser(
+        "sweep", help="batched omega/accel parameter sweep (one compiled program)"
+    )
+    p_sweep.add_argument("paramfile")
+    p_sweep.add_argument("obstaclefile")
+    p_sweep.add_argument(
+        "--omega", default=None,
+        help="relaxation values: a:b:n (linspace), a,b,c (list), or scalar",
+    )
+    p_sweep.add_argument(
+        "--accel", default=None,
+        help="acceleration values (same specs); broadcast against --omega",
+    )
+    p_sweep.add_argument("--steps", type=int, default=None)
+    p_sweep.add_argument("--out-dir", default="sweep")
+    p_sweep.add_argument(
+        "--av-vels", action="store_true",
+        help="also write per-instance av_vels_XXX.dat series",
+    )
+    p_sweep.add_argument("--platform", default=None)
+    p_sweep.add_argument("--host-devices", type=int, default=None)
+
     p_speed = sub.add_parser("speedup", help="render a speedup plot from bench reports")
     p_speed.add_argument("reports", nargs="+")
     p_speed.add_argument("--output", default="speedup.png")
@@ -336,6 +399,7 @@ def main(argv: list[str] | None = None) -> int:
         "viz": cmd_viz,
         "animate": cmd_animate,
         "golden": cmd_golden,
+        "sweep": cmd_sweep,
         "speedup": cmd_speedup,
         "info": cmd_info,
     }[args.command]
