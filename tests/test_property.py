@@ -103,3 +103,42 @@ def test_sharded_sync_matches_single_on_random_scenes(seed, shards):
     for _ in range(10):
         st, _ = step(st)
     np.testing.assert_array_equal(np.asarray(prog.f_of(st)), np.asarray(f_s))
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_temporal_sweep_matches_jnp_on_random_scenes(seed):
+    """Fuzz the K-step temporal sweep against K jnp steps on random
+    lane-aligned geometries, depths, and parameters (incl. nb=1 single-block
+    shapes and K=3 odd depths)."""
+    from lbm_tpu.ops import temporal_pallas
+
+    rng = np.random.default_rng(1000 + seed)
+    ny = int(rng.choice([16, 24, 32, 48]))
+    K = int(rng.choice([2, 3, 4]))
+    params = LBMParams(
+        nx=128, ny=ny, max_iters=2 * K + 1, reynolds_dim=10,
+        density=float(rng.uniform(0.05, 0.3)),
+        accel=float(rng.uniform(0.001, 0.01)),
+        omega=float(rng.uniform(0.8, 1.9)),
+    )
+    if not temporal_pallas.supports(params, K):
+        pytest.skip(f"grid {ny}x128 cannot map K={K}")
+    mask = rng.random((ny, 128)) < rng.uniform(0.0, 0.25)
+    mask[ny // 2, 64] = False
+    steps = params.max_iters  # odd: exercises the single-step remainder
+
+    obst = jnp.asarray(mask)
+    f = jnp.asarray(lattice.equilibrium_rest(params.density, ny, 128))
+    tots_ref = []
+    for _ in range(steps):
+        f, tu = fused_jnp.fused_step_single(f, obst, params)
+        tots_ref.append(float(tu))
+
+    run = temporal_pallas.make_run_all(params, mask, steps, K)
+    f0 = jnp.asarray(lattice.equilibrium_rest(params.density, ny, 128))
+    f_t, tots = run(f0)
+    np.testing.assert_allclose(np.asarray(f_t), np.asarray(f), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(tots, np.float32), np.asarray(tots_ref, np.float32),
+        rtol=1e-4,
+    )
