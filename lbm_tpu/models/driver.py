@@ -200,13 +200,15 @@ def _make_scan(
     if spc > 1:
         if frame_interval is not None or debug:
             raise ValueError(
-                "frame capture / debug tracing are not supported with "
-                "multi-step (chunked) programs; use --variant async instead"
+                f"frame capture / debug tracing are not supported with "
+                f"multi-step programs ({program.variant} advances {spc} "
+                "steps per call); use the sync/overlap/async variants "
+                "instead"
             )
         if num_steps % spc:
             raise ValueError(
-                f"chunked mode advances {spc} steps per exchange; the step "
-                f"count {num_steps} must be a multiple of it"
+                f"{program.variant} advances {spc} steps per exchange; the "
+                f"step count {num_steps} must be a multiple of it"
             )
 
     if frame_interval is None:

@@ -547,6 +547,7 @@ def make_slab_sweep(
     interpret: bool | None = None,
     clone_cols_nx: int | None = None,
     storage: str = "f32",
+    ny_global: int | None = None,
 ):
     """Sharded per-shard K-step sweep for the communication-avoiding mode:
 
@@ -571,9 +572,15 @@ def make_slab_sweep(
     P = _obst_rows(B, K, F)
     pad = jnp.zeros((P - (B + 2 * KF + F), nx_v), dtype=jnp.float32)
 
+    ny_g = ny_global if ny_global is not None else params.ny
+
     def sweep(f_shard, lo, hi, obst_ext, row_offset):
         off = jnp.asarray(row_offset, dtype=jnp.int32)
-        rows_smem = jnp.stack([off, off - K]).reshape(1, 2)
+        # Shard 0's lo rows are the global wrap rows at the TOP of the grid:
+        # the seam chain's accel masks need their TRUE indices (the driven
+        # row ny-2 is always among them for K >= 2), so the base wraps
+        # modulo the global row count.
+        rows_smem = jnp.stack([off, (off - K) % ny_g]).reshape(1, 2)
         if F > 1:
             # Row-major fold (a relayout copy on TPU, amortized over the
             # K-step sweep; hot sharded paths should pre-fold upstream).

@@ -786,11 +786,13 @@ def build_sharded_program(
     if mode == "ca":
         from lbm_tpu.ops import temporal_pallas
 
-        K_ca = max(2, staleness)
+        # K_ca was fixed by the validation block above; ny_global makes
+        # shard 0's seam-strip row indices wrap to the true top rows.
         ca_sweep = temporal_pallas.make_slab_sweep(
             params, nloc, nx, K_ca,
             clone_cols_nx=nx - pad_cols if pad_cols else None,
             storage=storage,
+            ny_global=ny,
         )
         # K-deep ghost-extended obstacle slabs for the sweep's boundary
         # recomputation (periodic wrap, like _extended_obstacle_slabs).

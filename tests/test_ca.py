@@ -60,6 +60,30 @@ def test_ca_matches_sync(ca_scene, mesh4, K):
     np.testing.assert_allclose(tot_ca, tot_sync, rtol=1e-4)
 
 
+@pytest.mark.parametrize("K", [2, 4])
+def test_ca_matches_sync_open_seam(mesh4, K):
+    """Regression: NO walls at rows 0 / ny-1, so the periodic wrap seam is
+    live fluid and shard 0's seam chain must apply the driven-row injection
+    (row ny-2 is always among its wrapped lo rows).  An unwrapped lo-row
+    base made ca silently diverge from sync here while every walled-scene
+    test passed."""
+    params = LBMParams(
+        nx=128, ny=32, max_iters=STEPS, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    r = np.random.default_rng(5)
+    mask = r.random((32, 128)) < 0.08
+    mask[0, :] = mask[-1, :] = False  # open seam: wrap rows are fluid
+    sync = modes.build_sharded_program(params, mask, mesh4, mode="sync")
+    ca = modes.build_sharded_program(
+        params, mask, mesh4, mode="ca", staleness=K
+    )
+    f_sync, tot_sync = _run(sync)
+    f_ca, tot_ca = _run(ca)
+    np.testing.assert_allclose(f_ca, f_sync, atol=5e-7)
+    np.testing.assert_allclose(tot_ca, tot_sync, rtol=1e-4)
+
+
 def test_ca_i16(ca_scene, mesh4):
     params, mask = ca_scene
     ca = modes.build_sharded_program(

@@ -52,4 +52,4 @@ def test_dryrun_bootstraps_subprocess_when_devices_missing():
     )
     assert proc.returncode == 0, proc.stderr
     assert "BOOTSTRAP_OK" in proc.stdout
-    assert proc.stdout.count("dryrun ok:") == 6
+    assert proc.stdout.count("dryrun ok:") == 7  # incl. the ca combo

@@ -112,7 +112,7 @@ def test_supports_guards():
     assert not temporal_pallas.supports(tiny, 4)
 
 
-def test_driver_temporal_path_matches_per_step(scene_small_aligned=None):
+def test_driver_temporal_path_matches_per_step():
     # End-to-end: run_simulation with the temporal run_all vs disabled.
     from lbm_tpu.io.scene import Scene
 
