@@ -259,13 +259,12 @@ def cmd_sweep(args: argparse.Namespace) -> int:
     _apply_platform(args.platform, args.host_devices)
     scene = load_scene(args.paramfile, args.obstaclefile)
     omegas = parse_range(args.omega or str(scene.params.omega))
-    accels = (
-        parse_range(args.accel, count=omegas.size) if args.accel else None
-    )
-    if accels is not None and accels.size == 1 and omegas.size > 1:
-        accels = accels.repeat(omegas.size)
-    if accels is not None and omegas.size == 1 and accels.size > 1:
-        omegas = omegas.repeat(accels.size)
+    accels = parse_range(args.accel) if args.accel else None
+    if accels is not None:
+        # Broadcast scalar-vs-vector combinations to a common length.
+        omegas, accels = (
+            np.ascontiguousarray(a) for a in np.broadcast_arrays(omegas, accels)
+        )
     res = run_ensemble(
         scene.params, scene.obstacles, omegas, accels, num_steps=args.steps
     )

@@ -187,6 +187,23 @@ def _roll_x(x: jax.Array, shift: int) -> jax.Array:
     return _fold_roll_x(x, shift, 1)
 
 
+def refresh_clone_planes(planes: list, clone_nx: int | None) -> list:
+    """Lane padding: overwrite the two wrap-image clone columns of each
+    (R, nx_pad) plane with their source columns (col 0 and col clone_nx-1).
+    Identity when clone_nx is None.  Used by the single-step kernel's output
+    write and at every level of the temporal sweep."""
+    if clone_nx is None:
+        return planes
+    rows, nxt = planes[0].shape
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (rows, nxt), 1)
+    out = []
+    for p in planes:
+        p = jnp.where(lanes == clone_nx, p[:, 0:1], p)
+        p = jnp.where(lanes == nxt - 1, p[:, clone_nx - 1 : clone_nx], p)
+        out.append(p)
+    return out
+
+
 def _step_kernel(
     row_off_ref,  # (1, 1) int32, SMEM: global row index of local row 0
     f_ref,  # (9, B, nx) VMEM: this block's body rows (auto-pipelined)
@@ -226,19 +243,7 @@ def _step_kernel(
     # deviations from rest (ops/quant.py) — half the traffic of f32, with
     # measured <=0.32% golden deviation over full runs.  All arithmetic
     # stays f32; the codec wraps only the block loads and the output write.
-    if storage == "i16":
-        def deq(x, k):
-            return quant.dequantize_plane(x, k, density)
-
-        def enq(x, k):
-            return quant.quantize_plane(x, k, density)
-
-    else:
-        def deq(x, k):
-            return x
-
-        def enq(x, k):
-            return x
+    deq, enq = quant.plane_codec(storage, density)
 
     # Obstacle encoding: 0.0 fluid, 1.0 wall, 0.5 lane-padding clone column
     # whose source column is fluid.  Clones must receive the driven-row
@@ -296,17 +301,10 @@ def _step_kernel(
 
     obst_own = obst_ref[0, 0:B] > F32(0.25)
     out_planes, partial = stencil_math.collide_and_av(streamed, obst_own, F32(omega))
-    if clone_nx is not None:
-        # Lane padding: refresh the two wrap-image clone columns in the
-        # output write itself (two lane-selects per plane).  Doing this
-        # outside the kernel costs full-array carry copies per step.
-        nx_total = out_ref.shape[2]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (B, nx_total), 1)
-        for k in range(NS):
-            o = out_planes[k]
-            o = jnp.where(lanes == clone_nx, o[:, 0:1], o)
-            o = jnp.where(lanes == nx_total - 1, o[:, clone_nx - 1 : clone_nx], o)
-            out_planes[k] = o
+    # Lane padding: refresh the two wrap-image clone columns in the output
+    # write itself (two lane-selects per plane).  Doing this outside the
+    # kernel costs full-array carry copies per step.
+    out_planes = refresh_clone_planes(list(out_planes), clone_nx)
     for k in range(NS):
         out_ref[k] = enq(out_planes[k], k)
 

@@ -74,6 +74,23 @@ def dequantize_plane(q_k, k: int, density: float):
     return q_k.astype(F32) * F32(1.0 / s) + F32(rest)
 
 
+def plane_codec(storage: str, density: float):
+    """Per-plane (dequantize, quantize) pair for a kernel's HBM storage mode.
+
+    ``f32`` returns identity codecs; ``i16`` wraps loads/stores in the
+    fixed-point deviation transform.  Shared by the single-step and temporal
+    Pallas kernels so the storage handling cannot drift between them."""
+    if storage == "i16":
+        return (
+            lambda x, k: dequantize_plane(x, k, density),
+            lambda x, k: quantize_plane(x, k, density),
+        )
+    if storage != "f32":
+        raise ValueError(f"unknown storage {storage!r}")
+    ident = lambda x, k: x
+    return ident, ident
+
+
 def quantize(f, density: float):
     """(9, ...) f32 distributions -> int16 state (leading axis = planes)."""
     return jnp.stack(

@@ -192,38 +192,16 @@ def _sweep_kernel(
     at_lo_edge = i == 0
     at_hi_edge = i == nb - 1
 
-    if storage == "i16":
-        def deq(x, k):
-            return quant.dequantize_plane(x, k, density)
-
-        def enq(x, k):
-            return quant.quantize_plane(x, k, density)
-
-    else:
-        def deq(x, k):
-            return x
-
-        def enq(x, k):
-            return x
-
+    deq, enq = quant.plane_codec(storage, density)
     w1 = F32(w1a)
     w2 = F32(w2a)
     om = F32(omega)
 
     def refresh_clones(planes):
-        """Lane-padding: overwrite the two wrap-image clone columns with
-        their source columns, once per level (see fused_pallas)."""
-        if clone_nx is None:
-            return planes
-        rows = planes[0].shape[0]
-        nxt = planes[0].shape[1]
-        lanes = jax.lax.broadcasted_iota(jnp.int32, (rows, nxt), 1)
-        outp = []
-        for p in planes:
-            p = jnp.where(lanes == clone_nx, p[:, 0:1], p)
-            p = jnp.where(lanes == nxt - 1, p[:, clone_nx - 1 : clone_nx], p)
-            outp.append(p)
-        return outp
+        # Lane padding: clone columns refreshed at EVERY level (the next
+        # level's lane rotation reads them); shared with the single-step
+        # kernel's output-write refresh.
+        return fused_pallas.refresh_clone_planes(planes, clone_nx)
 
     # --- gather level-0 pieces -------------------------------------------
     body = [deq(f_ref[k], k) for k in range(NS)]

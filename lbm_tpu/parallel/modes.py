@@ -592,20 +592,20 @@ def build_sharded_program(
         from lbm_tpu.ops import temporal_pallas
 
         K_ca = max(2, staleness)
-        nloc_ca = ny // num_shards
         if open_pad:
             raise ValueError(
                 "ca mode does not support open-seam row padding; use a "
                 "shard count that divides ny, or the sync/overlap variants"
             )
         if backend != "pallas" or not temporal_pallas.supports_shard(
-            params, nloc_ca, nx, K_ca,
+            params, ny // num_shards, nx, K_ca,
             clone_nx=nx - pad_cols if pad_cols else None,
         ):
             raise ValueError(
                 f"ca mode requires the temporal pallas slab sweep, which "
-                f"cannot map {nloc_ca}x{nx} shards at depth K={K_ca}; use "
-                "sync/overlap (or fewer devices / a lane-aligned width)"
+                f"cannot map {ny // num_shards}x{nx} shards at depth "
+                f"K={K_ca}; use sync/overlap (or fewer devices / a "
+                "lane-aligned width)"
             )
 
     if f0 is None:

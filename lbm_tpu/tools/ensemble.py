@@ -112,9 +112,12 @@ def run_ensemble(
 
     f_final, tots = run(f0_b)
     av = np.asarray(tots, dtype=np.float32) / np.float32(tot_cells)
+    final_av = av[-1] if steps else np.zeros(B, dtype=np.float32)
     reyn = np.asarray(
-        [calc_reynolds(params.replace(omega=float(o)), float(a)) for o, a in
-         zip(omegas, av[-1] if steps else np.zeros(B))],
+        [
+            calc_reynolds(params.replace(omega=float(o)), float(a))
+            for o, a in zip(omegas, final_av)
+        ],
         dtype=np.float32,
     )
     return EnsembleResult(
