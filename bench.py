@@ -28,7 +28,9 @@ def main() -> int:
             grid=grid,
             variant=variant,
             steps=int(steps) if steps else None,
-            repeats=int(os.environ.get("LBM_BENCH_REPEATS", "2")),
+            # Best-of-N: run-to-run spread on the shared TPU tunnel is large
+            # (BENCHMARKS.md); 4 repeats cost only warm-start seconds each.
+            repeats=int(os.environ.get("LBM_BENCH_REPEATS", "4")),
             storage=storage,
         )
         out = {

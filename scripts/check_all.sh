@@ -33,4 +33,43 @@ for grid in 128x128 128x256 256x256 1024x1024; do
         --av-vels-file "$OUT/$grid/av_vels.dat" \
         --final-state-file "$OUT/$grid/final_state.dat" | tail -1 || fail=1
 done
+
+echo "=== temporal sweep equivalence (on-device) ==="
+# The DRAM-bound default path (K steps per HBM sweep) must reproduce the
+# single-step fields bitwise on real hardware; no golden exists at 2048^2,
+# so check it against the jnp step directly.
+python - <<'EOF' || fail=1
+import numpy as np, jax, jax.numpy as jnp
+from jax import lax
+from lbm_tpu.params import LBMParams
+from lbm_tpu.core import lattice
+from lbm_tpu.ops import fused_jnp, temporal_pallas
+from lbm_tpu.utils.compcache import enable_persistent_cache
+enable_persistent_cache()
+
+ny = nx = 2048
+steps, K = 64, 8
+params = LBMParams(nx=nx, ny=ny, max_iters=steps, reynolds_dim=10,
+                   density=0.1, accel=0.01, omega=1.85)
+mask = np.zeros((ny, nx), bool)
+mask[0, :] = mask[-1, :] = True
+mask[:, 0] = mask[:, -1] = True
+obst = jnp.asarray(mask)
+f0 = jnp.asarray(lattice.equilibrium_rest(params.density, ny, nx))
+
+@jax.jit
+def ref(f):
+    return lax.scan(
+        lambda f, _: fused_jnp.fused_step_single(f, obst, params), f,
+        None, length=steps)
+f_ref, _ = ref(f0)
+
+run = jax.jit(temporal_pallas.make_run_all(
+    params, mask, steps, K, folded_io=True))
+f_t, _ = run(jnp.asarray(np.asarray(f0).reshape(9, ny * 2, nx // 2)))
+d = float(np.abs(np.asarray(f_t).reshape(9, ny, nx) - np.asarray(f_ref)).max())
+print(f"temporal K={K} vs jnp over {steps} steps at {ny}x{nx}: max|df| = {d}")
+assert d == 0.0, "temporal sweep is not bitwise-identical on device"
+print("Temporal equivalence passed!")
+EOF
 exit $fail

@@ -63,3 +63,37 @@ def test_resume_rejects_mismatched_grid(tmp_path, scene, small_params):
     )
     with pytest.raises(ValueError, match="does not match"):
         run_simulation(bad, RunConfig(variant="jnp", resume_from=str(ck)))
+
+
+def test_checkpoint_and_resume_ca(tmp_path):
+    """Multi-step (K-per-call) programs checkpoint at chunk boundaries and
+    resume to the same result as an uninterrupted ca run."""
+    from lbm_tpu.params import LBMParams
+
+    params = LBMParams(
+        nx=128, ny=32, max_iters=16, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    mask = np.zeros((32, 128), dtype=bool)
+    mask[0, :] = mask[-1, :] = True
+    sc = Scene(params=params, obstacles=mask)
+    cfg = dict(variant="ca", num_devices=4, staleness=4)
+    ref = run_simulation(sc, RunConfig(**cfg))
+
+    ckdir = tmp_path / "ck"
+    res = run_simulation(
+        sc,
+        RunConfig(**cfg, checkpoint_every=8, checkpoint_dir=str(ckdir)),
+    )
+    np.testing.assert_array_equal(res.f, ref.f)
+    cks = sorted(ckdir.glob("ckpt_*.npz"))
+    assert [int(p.stem.split("_")[1]) for p in cks] == [8, 16]
+    res2 = run_simulation(sc, RunConfig(**cfg, resume_from=str(cks[0])))
+    np.testing.assert_array_equal(res2.f, ref.f)
+    np.testing.assert_allclose(res2.av_vels, ref.av_vels, rtol=1e-6)
+
+    # checkpoint_every not a multiple of K is rejected with a clear error.
+    with pytest.raises(ValueError, match="multiple of the chunk size"):
+        run_simulation(
+            sc, RunConfig(**cfg, checkpoint_every=6, checkpoint_dir=str(ckdir))
+        )
