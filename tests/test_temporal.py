@@ -129,6 +129,25 @@ def test_driver_temporal_path_matches_per_step():
     np.testing.assert_allclose(res_t.av_vels, res_1.av_vels, rtol=1e-4)
 
 
+def test_temporal_segmented_execution_is_invisible():
+    """Segment boundaries must stay bitwise-invisible on the temporal path:
+    two 6-step segments of sweeps perform the identical op sequence as one
+    12-step run (the driver contract _SEGMENT_STEPS relies on)."""
+    from lbm_tpu.io.scene import Scene
+
+    params, mask = _scene(32, 128, seed=17)
+    params = params.replace(max_iters=12)
+    scene = Scene(params=params, obstacles=mask)
+    whole = run_simulation(
+        scene, RunConfig(variant="pallas", temporal_k=2, segment_steps=0)
+    )
+    seg = run_simulation(
+        scene, RunConfig(variant="pallas", temporal_k=2, segment_steps=6)
+    )
+    np.testing.assert_array_equal(seg.f, whole.f)
+    np.testing.assert_array_equal(seg.av_vels, whole.av_vels)
+
+
 def test_lane_padded_temporal_path():
     # nx=100: lane padding + clone columns, refreshed at every sweep level.
     params, mask = _scene(32, 100, seed=13)
