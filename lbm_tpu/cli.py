@@ -71,6 +71,11 @@ def _add_run_args(p: argparse.ArgumentParser) -> None:
         "blocking)",
     )
     p.add_argument(
+        "--plan", action="store_true",
+        help="print the execution plan (variant, kernel, block/fold/depth, "
+        "segment layout) and exit without running",
+    )
+    p.add_argument(
         "--divergence",
         action="store_true",
         help="run sync and async side by side and emit the per-step "
@@ -155,6 +160,12 @@ def cmd_run(args: argparse.Namespace) -> int:
         segment_steps=args.segment_steps,
         temporal_k=args.temporal_k,
     )
+    if args.plan:
+        from lbm_tpu.models.plan import describe_plan
+
+        print(describe_plan(scene, config))
+        return 0
+
     import jax
 
     # Device banner (the analog of the reference's per-rank banner,

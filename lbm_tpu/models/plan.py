@@ -1,0 +1,107 @@
+"""Execution-plan introspection: what would `run` actually execute?
+
+``lbm_tpu run ... --plan`` prints this and exits.  Every line is derived
+from the SAME selection functions the driver uses (variant auto-policy,
+kernel supports()/plans, temporal depth heuristic, segment layout), so the
+description cannot drift from the real execution path.
+"""
+
+from __future__ import annotations
+
+from lbm_tpu.io.scene import Scene
+
+
+def describe_plan(scene: Scene, config) -> str:
+    import jax
+
+    from lbm_tpu.models import driver
+    from lbm_tpu.ops import fused_pallas, resident_pallas, temporal_pallas
+    from lbm_tpu.parallel import modes
+
+    params = scene.params
+    ny, nx = params.ny, params.nx
+    num_steps = config.num_steps or params.max_iters
+    lines = []
+    out = lines.append
+
+    variant = driver._pick_variant(scene, config)
+    out(f"grid: {ny}x{nx}  steps: {num_steps}  storage: {config.storage}")
+    out(f"variant: {variant}"
+        + ("" if config.variant != "auto" else "  (auto-selected)"))
+
+    if variant in ("serial", "jnp"):
+        out("path: " + ("host NumPy oracle (4-pass)" if variant == "serial"
+                        else "XLA-fused jnp step, lax.scan on device"))
+    elif variant == "pallas":
+        pad = modes.lane_pad_cols(nx) if nx % 128 else 0
+        nx_eff = nx + pad
+        p_eff = params.replace(nx=nx_eff) if pad else params
+        if pad:
+            out(f"lane padding: {nx} -> {nx_eff} columns "
+                "(blocked pad + live clone columns)")
+        if config.storage == "f32" and resident_pallas.supports(p_eff):
+            out("kernel: VMEM-resident multi-step "
+                f"(whole state on-chip, {resident_pallas.DEFAULT_CHUNK} "
+                "steps per launch)")
+        elif fused_pallas.supports(p_eff):
+            K = (
+                config.temporal_k
+                if config.temporal_k is not None
+                else temporal_pallas.pick_k(p_eff, config.storage)
+            )
+            clone = nx if pad else None
+            if K >= 2 and temporal_pallas.supports(p_eff, K, clone):
+                F, rows_v, nx_v, G, B = temporal_pallas._plan(
+                    p_eff.ny, nx_eff, K, clone, config.storage
+                )
+                out(f"kernel: temporal sweep — K={K} steps per HBM pass, "
+                    f"block {B} view rows, fold {F} (compute at "
+                    f"{rows_v}x{nx_v}), ghost group {G}")
+            else:
+                F, rows_v, nx_v, B = fused_pallas._plan(
+                    p_eff.ny, nx_eff, clone
+                )
+                out(f"kernel: single-step block — block {B} view rows, "
+                    f"fold {F} (compute at {rows_v}x{nx_v}); temporal "
+                    "blocking off (cached regime, unmappable depth, or "
+                    "--temporal-k 1)")
+        else:
+            out("kernel: jnp fallback (grid unmappable by the Pallas kernels)")
+    else:  # sharded
+        n_dev = config.num_devices or jax.device_count()
+        nloc = -(-ny // n_dev)
+        out(f"mesh: {n_dev}-device 'rows' ring  (~{nloc} rows/shard, "
+            "ppermute halo exchange, psum reduction)")
+        defaults = {"async": 1, "async-k": 2, "chunked": 2, "ca": 4}
+        stal = (
+            config.staleness
+            if config.staleness is not None
+            else defaults.get(variant, 1)
+        )
+        desc = {
+            "sync": "blocking exchange every step (bitwise-exact)",
+            "overlap": "interior compute overlaps exchange (bitwise-exact)",
+            "async": f"stale halos, age {stal} (bounded staleness)",
+            "async-k": f"explicit halo queue, age {stal}",
+            "chunked": f"{stal} local steps per exchange (ghost age 1..{stal})",
+            "ca": f"communication-avoiding: {max(2, stal)}-deep exchange "
+                  f"every {max(2, stal)} steps (bitwise-exact)",
+        }[variant]
+        out(f"discipline: {desc}")
+        backend = config.backend or (
+            "pallas"
+            if modes.sharded_pallas_supported(ny, nx, n_dev)
+            else "jnp"
+        )
+        out(f"per-shard backend: {backend}")
+
+    seg = config.segment_steps
+    seg = driver._SEGMENT_STEPS if seg is None else seg
+    if seg and num_steps > seg and not config.debug and config.frame_interval is None:
+        n_full, rem = divmod(num_steps, seg)
+        out(f"execution: {n_full} compiled segment(s) of {seg} steps"
+            + (f" + one of {rem}" if rem else "")
+            + "  (persistent compile cache applies)")
+    else:
+        out("execution: one compiled program for the whole run")
+    return "\n".join(lines)

@@ -92,3 +92,32 @@ def test_golden_prefix_through_cli(tmp_path, capsys):
     gold = np.loadtxt("/root/reference/check/128x128.av_vels.dat", usecols=[1])[:300]
     rel = 100 * np.abs((gold - av) / av)
     assert rel.max() < 0.1
+
+
+def test_run_plan_flag(tmp_path, capsys):
+    """--plan prints the execution plan (derived from the real selection
+    functions) and exits without running."""
+    from lbm_tpu.cli import main
+    from lbm_tpu.tools.scenegen import main as scene_main
+
+    scene_main(
+        ["--grid", "256x32", "--preset", "cavity",
+         "--out-dir", str(tmp_path), "--name", "p"]
+    )
+    rc = main(
+        ["run", str(tmp_path / "input_p.params"),
+         str(tmp_path / "obstacles_p.dat"), "--plan", "--variant", "pallas"]
+    )
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "variant: pallas" in out
+    assert "kernel:" in out
+
+    rc = main(
+        ["run", str(tmp_path / "input_p.params"),
+         str(tmp_path / "obstacles_p.dat"), "--plan",
+         "--variant", "ca", "--devices", "4", "--staleness", "2"]
+    )
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "communication-avoiding: 2-deep exchange" in out
