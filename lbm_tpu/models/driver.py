@@ -233,6 +233,15 @@ def _make_scan(
             return state, tot_us, None
 
     else:
+        if program.make_run_all is not None:
+            import warnings
+
+            warnings.warn(
+                "frame capture runs the per-step path; this grid's whole-run "
+                "fast path (VMEM-resident / K-step temporal sweep) is "
+                "bypassed, which can cost several x in compute rate",
+                stacklevel=3,
+            )
         n_frames = math.ceil(num_steps / frame_interval)
         interval = frame_interval
 
