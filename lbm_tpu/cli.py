@@ -276,8 +276,25 @@ def cmd_sweep(args: argparse.Namespace) -> int:
         omegas, accels = (
             np.ascontiguousarray(a) for a in np.broadcast_arrays(omegas, accels)
         )
+    obstacles = scene.obstacles
+    if args.geometry:
+        # Geometry sweep: the base obstacle file plus each --geometry file
+        # becomes one instance (all on the base grid).
+        masks = [scene.obstacles]
+        for path in args.geometry:
+            masks.append(load_scene(args.paramfile, path).obstacles)
+        obstacles = np.stack(masks)
+        if omegas.size == 1:
+            omegas = np.repeat(omegas, len(masks))
+            if accels is not None:
+                accels = np.repeat(accels[:1], len(masks))
+        elif omegas.size != len(masks):
+            raise ValueError(
+                f"{len(masks)} geometries but {omegas.size} parameter "
+                "instances; pass one omega or one per geometry"
+            )
     res = run_ensemble(
-        scene.params, scene.obstacles, omegas, accels, num_steps=args.steps
+        scene.params, obstacles, omegas, accels, num_steps=args.steps
     )
     os.makedirs(args.out_dir, exist_ok=True)
     summary = os.path.join(args.out_dir, "sweep_summary.dat")
@@ -371,6 +388,11 @@ def main(argv: list[str] | None = None) -> int:
     p_sweep.add_argument(
         "--accel", default=None,
         help="acceleration values (same specs); broadcast against --omega",
+    )
+    p_sweep.add_argument(
+        "--geometry", action="append", default=None, metavar="OBSTACLEFILE",
+        help="additional obstacle files for a geometry sweep (the base "
+        "obstacle file is instance 0; repeatable)",
     )
     p_sweep.add_argument("--steps", type=int, default=None)
     p_sweep.add_argument("--out-dir", default="sweep")

@@ -88,6 +88,15 @@ def describe_plan(scene: Scene, config) -> str:
                   f"every {max(2, stal)} steps (bitwise-exact)",
         }[variant]
         out(f"discipline: {desc}")
+        if variant in ("async", "async-k", "chunked"):
+            # The deterministic halo-age profile (SURVEY §4: per-step age
+            # histograms are trivial here — age is static by construction).
+            age = (stal + 1) / 2 if variant == "chunked" else stal
+            frac = 2.0 * n_dev / ny * age
+            out(f"halo ages: boundary rows (2/{nloc} per shard) at mean age "
+                f"{age:g}, interior exact; stale-row exposure "
+                f"{frac:.1%} -> expected av_vels deviation "
+                f"{'<0.2%' if frac <= 0.016 else '<1%' if frac <= 0.05 else '>1% (driver warns)'}")
         backend = config.backend or (
             "pallas"
             if modes.sharded_pallas_supported(ny, nx, n_dev)

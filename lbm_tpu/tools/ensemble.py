@@ -66,13 +66,19 @@ def run_ensemble(
 
     Args:
       params: base scene parameters (grid, density, default accel/omega).
-      obstacles: (ny, nx) bool mask, shared by every instance.
-      omegas: (B,) relaxation parameters, one per instance.
+      obstacles: (ny, nx) bool mask shared by every instance, OR a
+        (B, ny, nx) batch of masks for a GEOMETRY sweep (the reference's
+        obstacle-file studies, run simultaneously instead of per binary).
+      omegas: (B,) relaxation parameters, one per instance (or a single
+        value broadcast over a geometry batch).
       accels: optional (B,) accelerations (default: params.accel for all).
     """
-    omegas = np.asarray(omegas, dtype=np.float32)
+    obstacles = np.asarray(obstacles, dtype=bool)
+    omegas = np.atleast_1d(np.asarray(omegas, dtype=np.float32))
     if omegas.ndim != 1 or omegas.size == 0:
         raise ValueError("omegas must be a non-empty 1-D sequence")
+    if obstacles.ndim == 3 and omegas.size == 1:
+        omegas = np.repeat(omegas, obstacles.shape[0])
     B = omegas.size
     accels = (
         np.full(B, params.accel, dtype=np.float32)
@@ -83,8 +89,18 @@ def run_ensemble(
         raise ValueError(f"accels must have shape ({B},), got {accels.shape}")
     steps = num_steps if num_steps is not None else params.max_iters
 
+    geom_batch = obstacles.ndim == 3
+    if geom_batch and obstacles.shape[0] != B:
+        raise ValueError(
+            f"obstacle batch of {obstacles.shape[0]} masks does not match "
+            f"{B} parameter instances"
+        )
     obst = jnp.asarray(obstacles, dtype=bool)
-    tot_cells = int(obstacles.size - np.count_nonzero(obstacles))
+    # Per-instance fluid-cell counts (masks may differ in a geometry sweep).
+    fluid_counts = np.asarray(
+        (~obstacles).sum(axis=(-2, -1)), dtype=np.float32
+    )
+    fluid_counts = np.broadcast_to(fluid_counts, (B,)).astype(np.float32)
     accel_row = params.accel_row
     dens = params.density
 
@@ -98,20 +114,20 @@ def run_ensemble(
     f0_b = jnp.broadcast_to(f0[None], (B,) + f0.shape)
 
     batched = jax.vmap(
-        lambda f, o, w1, w2: _step_traced(f, o, w1, w2, obst, accel_row),
-        in_axes=(0, 0, 0, 0),
+        lambda f, o, w1, w2, ob: _step_traced(f, o, w1, w2, ob, accel_row),
+        in_axes=(0, 0, 0, 0, 0 if geom_batch else None),
     )
 
     @jax.jit
     def run(f_b):
         def body(f_b, _):
-            f_b, tots = batched(f_b, om, w1s, w2s)
+            f_b, tots = batched(f_b, om, w1s, w2s, obst)
             return f_b, tots
 
         return lax.scan(body, f_b, None, length=steps)
 
     f_final, tots = run(f0_b)
-    av = np.asarray(tots, dtype=np.float32) / np.float32(tot_cells)
+    av = np.asarray(tots, dtype=np.float32) / fluid_counts[None, :]
     final_av = av[-1] if steps else np.zeros(B, dtype=np.float32)
     reyn = np.asarray(
         [

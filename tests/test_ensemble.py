@@ -96,3 +96,30 @@ def test_sweep_cli(tmp_path):
     summary = (tmp_path / "sweep" / "sweep_summary.dat").read_text().splitlines()
     assert len(summary) == 5  # header + 4 instances
     assert os.path.exists(tmp_path / "sweep" / "av_vels_003.dat")
+
+
+def test_geometry_sweep(scene):
+    """A (B, ny, nx) obstacle batch runs a geometry sweep: each instance
+    matches its own single-geometry run."""
+    params, mask = scene
+    masks = np.stack([mask, mask.copy()])
+    masks[1, 10:12, 20:24] = True  # variant geometry
+    res = run_ensemble(params, masks, omegas=params.omega, num_steps=10)
+    assert res.av_vels.shape == (10, 2)
+    for i in range(2):
+        obst = jnp.asarray(masks[i])
+        f = jnp.asarray(lattice.equilibrium_rest(params.density, 16, 32))
+        tots = []
+        for _ in range(10):
+            f, tu = fused_jnp.fused_step_single(f, obst, params)
+            tots.append(float(tu))
+        cells = int(masks[i].size - masks[i].sum())
+        np.testing.assert_allclose(res.f[i], np.asarray(f), atol=1e-7)
+        np.testing.assert_allclose(
+            res.av_vels[:, i], np.asarray(tots, np.float32) / cells, rtol=1e-4
+        )
+    # The two geometries genuinely diverge.
+    assert np.abs(res.av_vels[-1, 0] - res.av_vels[-1, 1]) > 0
+
+    with pytest.raises(ValueError, match="does not match"):
+        run_ensemble(params, masks, omegas=[1.5, 1.6, 1.7], num_steps=2)
