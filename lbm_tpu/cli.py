@@ -271,11 +271,9 @@ def cmd_sweep(args: argparse.Namespace) -> int:
     scene = load_scene(args.paramfile, args.obstaclefile)
     omegas = parse_range(args.omega or str(scene.params.omega))
     accels = parse_range(args.accel) if args.accel else None
-    if accels is not None:
-        # Broadcast scalar-vs-vector combinations to a common length.
-        omegas, accels = (
-            np.ascontiguousarray(a) for a in np.broadcast_arrays(omegas, accels)
-        )
+
+    # Resolve the instance count FIRST (geometries fix it when present),
+    # then broadcast each parameter spec against it.
     obstacles = scene.obstacles
     if args.geometry:
         # Geometry sweep: the base obstacle file plus each --geometry file
@@ -284,15 +282,23 @@ def cmd_sweep(args: argparse.Namespace) -> int:
         for path in args.geometry:
             masks.append(load_scene(args.paramfile, path).obstacles)
         obstacles = np.stack(masks)
-        if omegas.size == 1:
-            omegas = np.repeat(omegas, len(masks))
-            if accels is not None:
-                accels = np.repeat(accels[:1], len(masks))
-        elif omegas.size != len(masks):
+        B = len(masks)
+    else:
+        B = max(omegas.size, accels.size if accels is not None else 1)
+
+    def fit(name, vals):
+        if vals.size == 1:
+            return np.repeat(vals, B)
+        if vals.size != B:
             raise ValueError(
-                f"{len(masks)} geometries but {omegas.size} parameter "
-                "instances; pass one omega or one per geometry"
+                f"{name} has {vals.size} values but the sweep has {B} "
+                "instances; pass one value or one per instance"
             )
+        return vals
+
+    omegas = fit("--omega", omegas)
+    if accels is not None:
+        accels = fit("--accel", accels)
     res = run_ensemble(
         scene.params, obstacles, omegas, accels, num_steps=args.steps
     )

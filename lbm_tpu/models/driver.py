@@ -155,7 +155,7 @@ def build_program(
     if variant in ("sync", "overlap", "async", "async-k", "chunked", "ca"):
         mesh = mesh_lib.make_row_mesh(config.num_devices)
         mode = {"async-k": "async"}.get(variant, variant)
-        defaults = {"async": 1, "async-k": 2, "chunked": 2, "ca": 4}
+        defaults = modes.STALENESS_DEFAULTS
         if variant in defaults:
             staleness = (
                 config.staleness if config.staleness is not None else defaults[variant]
@@ -212,6 +212,15 @@ def _make_scan(
             )
 
     if frame_interval is None:
+        if program.make_run_all is not None and debug:
+            import warnings
+
+            warnings.warn(
+                "--debug runs the per-step path; this grid's whole-run fast "
+                "path (VMEM-resident / K-step temporal sweep) is bypassed, "
+                "which can cost several x in compute rate",
+                stacklevel=3,
+            )
         if program.make_run_all is not None and not debug:
             run_all = program.make_run_all(num_steps)
 

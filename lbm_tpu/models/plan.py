@@ -1,9 +1,10 @@
 """Execution-plan introspection: what would `run` actually execute?
 
 ``lbm_tpu run ... --plan`` prints this and exits.  Every line is derived
-from the SAME selection functions the driver uses (variant auto-policy,
-kernel supports()/plans, temporal depth heuristic, segment layout), so the
-description cannot drift from the real execution path.
+from the SAME selection functions and decision order the driver uses
+(variant auto-policy, backend/storage coercion, kernel supports()/plans,
+temporal depth heuristic, checkpoint/segment layout), so the description
+cannot drift from the real execution path.
 """
 
 from __future__ import annotations
@@ -11,81 +12,111 @@ from __future__ import annotations
 from lbm_tpu.io.scene import Scene
 
 
+def _single_device_lines(out, params, config):
+    """Mirror modes.build_single_program's dispatch exactly."""
+    from lbm_tpu.ops import fused_pallas, resident_pallas, temporal_pallas
+    from lbm_tpu.parallel import modes
+
+    nx = params.nx
+    pad = modes.lane_pad_cols(nx) if nx % 128 else 0
+    p_eff = params.replace(nx=nx + pad) if pad else params
+    clone = nx if pad else None
+    if pad:
+        if not fused_pallas.supports(p_eff):
+            out("kernel: jnp fallback (grid unmappable even lane-padded)"
+                + ("; NOTE: i16 storage will fail here"
+                   if config.storage != "f32" else ""))
+            return
+        out(f"lane padding: {nx} -> {p_eff.nx} columns "
+            "(blocked pad + live clone columns)")
+    elif config.storage == "f32" and resident_pallas.supports(params):
+        # Unpadded grids that fit on-chip: the resident whole-run kernel.
+        out("kernel: VMEM-resident multi-step "
+            f"(whole state on-chip, {resident_pallas.DEFAULT_CHUNK} "
+            "steps per launch)")
+        return
+    elif not fused_pallas.supports(params):
+        if config.storage != "f32":
+            out("NOTE: this run will FAIL — i16 storage requires the "
+                "pallas block kernel, which cannot map this grid")
+        else:
+            out("kernel: jnp fallback (grid unmappable by the Pallas "
+                "kernels)")
+        return
+
+    K = (
+        config.temporal_k
+        if config.temporal_k is not None
+        else temporal_pallas.pick_k(p_eff, config.storage)
+    )
+    if K >= 2 and temporal_pallas.supports(p_eff, K, clone):
+        F, rows_v, nx_v, G, B = temporal_pallas._plan(
+            p_eff.ny, p_eff.nx, K, clone, config.storage
+        )
+        out(f"kernel: temporal sweep — K={K} steps per HBM pass, "
+            f"block {B} view rows, fold {F} (compute at {rows_v}x{nx_v}), "
+            f"ghost group {G}")
+    else:
+        F, rows_v, nx_v, B = fused_pallas._plan(p_eff.ny, p_eff.nx, clone)
+        out(f"kernel: single-step block — block {B} view rows, fold {F} "
+            f"(compute at {rows_v}x{nx_v}); temporal blocking off "
+            "(cached regime, unmappable depth, or --temporal-k 1)")
+
+
 def describe_plan(scene: Scene, config) -> str:
     import jax
 
     from lbm_tpu.models import driver
-    from lbm_tpu.ops import fused_pallas, resident_pallas, temporal_pallas
     from lbm_tpu.parallel import modes
 
     params = scene.params
     ny, nx = params.ny, params.nx
-    num_steps = config.num_steps or params.max_iters
+    num_steps = (
+        config.num_steps if config.num_steps is not None else params.max_iters
+    )
     lines = []
     out = lines.append
 
     variant = driver._pick_variant(scene, config)
     out(f"grid: {ny}x{nx}  steps: {num_steps}  storage: {config.storage}")
     out(f"variant: {variant}"
-        + ("" if config.variant != "auto" else "  (auto-selected)"))
+        + ("  (auto-selected)" if config.variant == "auto" else ""))
 
-    if variant in ("serial", "jnp"):
-        out("path: " + ("host NumPy oracle (4-pass)" if variant == "serial"
-                        else "XLA-fused jnp step, lax.scan on device"))
-    elif variant == "pallas":
-        pad = modes.lane_pad_cols(nx) if nx % 128 else 0
-        nx_eff = nx + pad
-        p_eff = params.replace(nx=nx_eff) if pad else params
-        if pad:
-            out(f"lane padding: {nx} -> {nx_eff} columns "
-                "(blocked pad + live clone columns)")
-        if config.storage == "f32" and resident_pallas.supports(p_eff):
-            out("kernel: VMEM-resident multi-step "
-                f"(whole state on-chip, {resident_pallas.DEFAULT_CHUNK} "
-                "steps per launch)")
-        elif fused_pallas.supports(p_eff):
-            K = (
-                config.temporal_k
-                if config.temporal_k is not None
-                else temporal_pallas.pick_k(p_eff, config.storage)
-            )
-            clone = nx if pad else None
-            if K >= 2 and temporal_pallas.supports(p_eff, K, clone):
-                F, rows_v, nx_v, G, B = temporal_pallas._plan(
-                    p_eff.ny, nx_eff, K, clone, config.storage
-                )
-                out(f"kernel: temporal sweep — K={K} steps per HBM pass, "
-                    f"block {B} view rows, fold {F} (compute at "
-                    f"{rows_v}x{nx_v}), ghost group {G}")
-            else:
-                F, rows_v, nx_v, B = fused_pallas._plan(
-                    p_eff.ny, nx_eff, clone
-                )
-                out(f"kernel: single-step block — block {B} view rows, "
-                    f"fold {F} (compute at {rows_v}x{nx_v}); temporal "
-                    "blocking off (cached regime, unmappable depth, or "
-                    "--temporal-k 1)")
+    spc = 1
+    if variant == "serial":
+        out("path: host NumPy oracle (4-pass)")
+    elif variant in ("jnp", "pallas"):
+        # Mirror build_program's backend/storage coercion.
+        backend = config.backend or variant
+        if config.storage != "f32":
+            if backend == "jnp" and (config.variant != "auto" or config.backend):
+                out("NOTE: this run will FAIL — i16 storage requires the "
+                    "pallas backend (drop --variant jnp / --backend jnp)")
+                return "\n".join(lines)
+            backend = "pallas"
+        if backend == "jnp":
+            out("path: XLA-fused jnp step, lax.scan on device")
         else:
-            out("kernel: jnp fallback (grid unmappable by the Pallas kernels)")
+            _single_device_lines(out, params, config)
     else:  # sharded
         n_dev = config.num_devices or jax.device_count()
         nloc = -(-ny // n_dev)
         out(f"mesh: {n_dev}-device 'rows' ring  (~{nloc} rows/shard, "
             "ppermute halo exchange, psum reduction)")
-        defaults = {"async": 1, "async-k": 2, "chunked": 2, "ca": 4}
         stal = (
             config.staleness
             if config.staleness is not None
-            else defaults.get(variant, 1)
+            else modes.STALENESS_DEFAULTS.get(variant, 1)
         )
+        K_ca = modes.ca_depth(stal)
         desc = {
             "sync": "blocking exchange every step (bitwise-exact)",
             "overlap": "interior compute overlaps exchange (bitwise-exact)",
             "async": f"stale halos, age {stal} (bounded staleness)",
             "async-k": f"explicit halo queue, age {stal}",
             "chunked": f"{stal} local steps per exchange (ghost age 1..{stal})",
-            "ca": f"communication-avoiding: {max(2, stal)}-deep exchange "
-                  f"every {max(2, stal)} steps (bitwise-exact)",
+            "ca": f"communication-avoiding: {K_ca}-deep exchange "
+                  f"every {K_ca} steps (bitwise-exact)",
         }[variant]
         out(f"discipline: {desc}")
         if variant in ("async", "async-k", "chunked"):
@@ -103,10 +134,26 @@ def describe_plan(scene: Scene, config) -> str:
             else "jnp"
         )
         out(f"per-shard backend: {backend}")
+        spc = K_ca if variant == "ca" else stal if variant == "chunked" else 1
+
+    if spc > 1 and num_steps % spc:
+        out(f"NOTE: this run will FAIL — {variant} advances {spc} steps per "
+            f"exchange and {num_steps} is not a multiple of it")
+
+    if config.checkpoint_every:
+        n_full, rem = divmod(num_steps, config.checkpoint_every)
+        out(f"execution: checkpointed segments of {config.checkpoint_every} "
+            f"steps ({n_full}" + (f" + one of {rem}" if rem else "")
+            + f"), snapshots in {config.checkpoint_dir}/")
+        if spc > 1 and config.checkpoint_every % spc:
+            out(f"NOTE: this run will FAIL — checkpoint_every must be a "
+                f"multiple of the {spc}-step chunk")
+        return "\n".join(lines)
 
     seg = config.segment_steps
     seg = driver._SEGMENT_STEPS if seg is None else seg
     if seg and num_steps > seg and not config.debug and config.frame_interval is None:
+        seg += (-seg) % spc  # driver keeps segments whole numbers of chunks
         n_full, rem = divmod(num_steps, seg)
         out(f"execution: {n_full} compiled segment(s) of {seg} steps"
             + (f" + one of {rem}" if rem else "")

@@ -41,6 +41,17 @@ from lbm_tpu.parallel import mesh as mesh_lib
 
 ROWS = mesh_lib.ROWS
 
+# Per-variant staleness defaults (halo age / chunk length / ca exchange
+# depth), shared by the driver and the --plan introspection so they cannot
+# drift.
+STALENESS_DEFAULTS = {"async": 1, "async-k": 2, "chunked": 2, "ca": 4}
+
+
+def ca_depth(staleness: int) -> int:
+    """Exchange depth of the ca mode for a --staleness value (min 2: a
+    1-deep exchange is just sync)."""
+    return max(2, staleness)
+
 
 @dataclasses.dataclass
 class StepProgram:
@@ -591,19 +602,19 @@ def build_sharded_program(
         # synchronous steps, with collective latency amortized K-fold.
         from lbm_tpu.ops import temporal_pallas
 
-        K_ca = max(2, staleness)
+        K_ca = ca_depth(staleness)
         if open_pad:
             raise ValueError(
                 "ca mode does not support open-seam row padding; use a "
                 "shard count that divides ny, or the sync/overlap variants"
             )
         if backend != "pallas" or not temporal_pallas.supports_shard(
-            params, ny // num_shards, nx, K_ca,
+            params, nloc, nx, K_ca,
             clone_nx=nx - pad_cols if pad_cols else None,
         ):
             raise ValueError(
                 f"ca mode requires the temporal pallas slab sweep, which "
-                f"cannot map {ny // num_shards}x{nx} shards at depth "
+                f"cannot map {nloc}x{nx} shards at depth "
                 f"K={K_ca}; use sync/overlap (or fewer devices / a "
                 "lane-aligned width)"
             )

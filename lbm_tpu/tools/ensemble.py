@@ -11,9 +11,10 @@ every instance's full av_vels series comes back in one device round trip.
 Physics math is the shared ops/stencil_math.py; omega and the acceleration
 weights enter as traced per-instance scalars instead of baked constants, so
 instance 0 of an ensemble reproduces the single-run path's results exactly
-(tested).  Geometry and grid are shared across the ensemble (the obstacle
-mask is closed over, not batched) — this is a parameter sweep, not a
-multi-scene batcher.
+(tested).  The obstacle mask is either shared (parameter sweep) or a
+(B, ny, nx) batch vmapped alongside the parameters (geometry sweep — the
+reference's obstacle-file studies); the grid shape is common to all
+instances either way.
 """
 
 from __future__ import annotations
