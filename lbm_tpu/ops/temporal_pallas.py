@@ -591,14 +591,20 @@ def make_slab_sweep(
 
 
 def pick_k(params: LBMParams, storage: str = "f32") -> int:
-    """Depth heuristic, from measured v5e rates (BENCHMARKS.md): while the
-    two f buffers ride the ~75 MB fast-memory regime the single-step kernel
-    is already DMA/compute balanced and the sweep's per-level overhead makes
-    temporal blocking a net loss (1024^2 f32: 14.9k vs 15.5-17k MLUPS), so
-    it stays off; once DRAM-bound it wins big (2048^2 f32: 14.3k vs 4.1k at
-    K=8; 4096^2 i16: 16.4k vs 8.4k at K=4).  Deep folds cap the depth at 4:
-    K=8 at fold 4 needs a 32-row ghost group that leaves no useful block
-    size.  Override with LBM_TEMPORAL_K (1 disables)."""
+    """Depth heuristic, from measured v5e rates (BENCHMARKS.md).
+
+    - DRAM-bound (>80 MB working set): temporal blocking wins big (2048^2
+      f32: 14.5k vs 4.1k MLUPS at K=8; 4096^2 i16: 16.4k vs 8.4k at K=4).
+      Deep folds cap the depth at 4: K=8 at fold 4 needs a 32-row ghost
+      group that leaves no useful block size.
+    - Right at the cache/DMA balance point (1024^2 f32, ~75 MB) the
+      single-step kernel wins (17.3k vs 15.8k): per-level sweep overhead
+      exceeds the DMA saved.
+    - Smaller cached f32 grids are per-step-overhead-bound, and K=2 wins
+      again (512^2: 12.7k vs 10.4k; 768^2: 14.9k vs 13.8k); i16 at these
+      sizes is compute-bound and stays on the single-step kernel.
+
+    Override with LBM_TEMPORAL_K (1 disables)."""
     import os
 
     env = os.environ.get("LBM_TEMPORAL_K")
@@ -606,9 +612,11 @@ def pick_k(params: LBMParams, storage: str = "f32") -> int:
         return int(env)
     f_bytes = 2 if storage == "i16" else 4
     working_set = 2 * NS * params.ny * params.nx * f_bytes
-    if working_set <= 80 * 1024 * 1024:
-        return 1
-    return 8 if fused_pallas._fold_factor(params.nx) <= 2 else 4
+    if working_set > 80 * 1024 * 1024:
+        return 8 if fused_pallas._fold_factor(params.nx) <= 2 else 4
+    if storage == "f32" and working_set <= 64 * 1024 * 1024:
+        return 2
+    return 1
 
 
 def make_run_all(
