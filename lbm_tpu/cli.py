@@ -317,9 +317,14 @@ def cmd_sweep(args: argparse.Namespace) -> int:
                 os.path.join(args.out_dir, f"av_vels_{i:03d}.dat"),
                 res.av_vels[:, i],
             )
+    if args.plot:
+        from lbm_tpu.tools.ensemble import render_sweep
+
+        render_sweep(res, os.path.join(args.out_dir, "sweep.png"))
     print(
         f"swept {res.omegas.size} variants x {res.av_vels.shape[0]} steps "
         f"in one compiled program; wrote {summary}"
+        + (" and sweep.png" if args.plot else "")
     )
     return 0
 
@@ -405,6 +410,10 @@ def main(argv: list[str] | None = None) -> int:
     p_sweep.add_argument(
         "--av-vels", action="store_true",
         help="also write per-instance av_vels_XXX.dat series",
+    )
+    p_sweep.add_argument(
+        "--plot", action="store_true",
+        help="render sweep.png (av_vels families + final-value curve)",
     )
     p_sweep.add_argument("--platform", default=None)
     p_sweep.add_argument("--host-devices", type=int, default=None)

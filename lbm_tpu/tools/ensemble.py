@@ -158,3 +158,39 @@ def parse_range(spec: str, count: int | None = None) -> np.ndarray:
         return np.asarray([float(v) for v in spec.split(",")], dtype=np.float32)
     v = float(spec)
     return np.full(count or 1, v, dtype=np.float32)
+
+
+def render_sweep(res: EnsembleResult, output: str) -> str:
+    """Plot the per-instance av_vels families + the final-value curve
+    (the ensemble analog of the reference's parameter-study figures)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
+    B = res.omegas.size
+    varying_omega = np.unique(res.omegas).size > 1
+    labels = res.omegas if varying_omega else res.accels
+    name = "omega" if varying_omega else "accel"
+    cmap = plt.get_cmap("viridis")
+    for i in range(B):
+        ax1.plot(
+            res.av_vels[:, i],
+            color=cmap(i / max(1, B - 1)),
+            label=f"{name}={labels[i]:.4g}",
+            linewidth=1.0,
+        )
+    ax1.set_xlabel("step")
+    ax1.set_ylabel("av_velocity")
+    ax1.set_title("av_vels per instance")
+    if B <= 10:
+        ax1.legend(fontsize=7)
+    ax2.plot(labels, res.av_vels[-1], "o-")
+    ax2.set_xlabel(name)
+    ax2.set_ylabel("final av_velocity")
+    ax2.set_title(f"final av vs {name}")
+    fig.tight_layout()
+    fig.savefig(output, dpi=120)
+    plt.close(fig)
+    return output
