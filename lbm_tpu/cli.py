@@ -304,12 +304,17 @@ def cmd_sweep(args: argparse.Namespace) -> int:
     )
     os.makedirs(args.out_dir, exist_ok=True)
     summary = os.path.join(args.out_dir, "sweep_summary.dat")
+    final_av = (
+        res.av_vels[-1]
+        if res.av_vels.shape[0]
+        else np.full(res.omegas.size, np.nan, dtype=np.float32)
+    )
     with open(summary, "w") as fh:
         fh.write("# idx omega accel reynolds final_av_velocity\n")
         for i in range(res.omegas.size):
             fh.write(
                 f"{i:d} {res.omegas[i]:.6f} {res.accels[i]:.6f} "
-                f"{res.reynolds[i]:.12E} {res.av_vels[-1, i]:.12E}\n"
+                f"{res.reynolds[i]:.12E} {final_av[i]:.12E}\n"
             )
     if args.av_vels:
         for i in range(res.omegas.size):

@@ -134,6 +134,35 @@ def describe_plan(scene: Scene, config) -> str:
             else "jnp"
         )
         out(f"per-shard backend: {backend}")
+        if config.storage != "f32" and backend != "pallas":
+            out("NOTE: this run will FAIL — i16 storage requires the pallas "
+                "slab kernel on this layout")
+        if variant == "ca":
+            # Mirror build_sharded_program's ca gate (padding included).
+            from lbm_tpu.ops import fused_pallas, temporal_pallas
+
+            pad_cols = 0
+            if backend == "pallas" and nx % 128:
+                p = modes.lane_pad_cols(nx)
+                if (fused_pallas._kernel_footprint(8, nx + p)
+                        <= fused_pallas._VMEM_BUDGET):
+                    pad_cols = p
+            pad_rows = (-ny) % n_dev
+            obstacles = scene.obstacles
+            walled = bool(obstacles[0].all() and obstacles[-1].all())
+            if pad_rows and not walled:
+                out("NOTE: this run will FAIL — ca does not support "
+                    "open-seam row padding (ny not divisible by the mesh)")
+            else:
+                nloc_pad = (ny + pad_rows) // n_dev
+                if backend != "pallas" or not temporal_pallas.supports_shard(
+                    params, nloc_pad, nx + pad_cols, K_ca,
+                    clone_nx=nx if pad_cols else None,
+                ):
+                    out(f"NOTE: this run will FAIL — ca requires the "
+                        f"temporal pallas slab sweep, which cannot map "
+                        f"{nloc_pad}x{nx + pad_cols} shards at depth "
+                        f"K={K_ca}")
         spc = K_ca if variant == "ca" else stal if variant == "chunked" else 1
 
     if spc > 1 and num_steps % spc:
@@ -152,7 +181,7 @@ def describe_plan(scene: Scene, config) -> str:
 
     seg = config.segment_steps
     seg = driver._SEGMENT_STEPS if seg is None else seg
-    if seg and num_steps > seg and not config.debug and config.frame_interval is None:
+    if seg > 0 and num_steps > seg and not config.debug and config.frame_interval is None:
         seg += (-seg) % spc  # driver keeps segments whole numbers of chunks
         n_full, rem = divmod(num_steps, seg)
         out(f"execution: {n_full} compiled segment(s) of {seg} steps"

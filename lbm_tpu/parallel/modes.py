@@ -1004,7 +1004,9 @@ def build_sharded_program(
         )
         + ("-i16" if storage == "i16" else ""),
         steps_per_call=(
-            staleness if mode == "chunked" else max(2, staleness) if mode == "ca" else 1
+            staleness if mode == "chunked"
+            else ca_depth(staleness) if mode == "ca"
+            else 1
         ),
         global_shape=(ny, nx),
         backend=backend,

@@ -170,9 +170,14 @@ def render_sweep(res: EnsembleResult, output: str) -> str:
 
     fig, (ax1, ax2) = plt.subplots(1, 2, figsize=(11, 4))
     B = res.omegas.size
-    varying_omega = np.unique(res.omegas).size > 1
-    labels = res.omegas if varying_omega else res.accels
-    name = "omega" if varying_omega else "accel"
+    # Label by whichever parameter varies; a geometry sweep (constant
+    # omega AND accel) falls back to instance indices.
+    if np.unique(res.omegas).size > 1:
+        name, labels = "omega", res.omegas
+    elif np.unique(res.accels).size > 1:
+        name, labels = "accel", res.accels
+    else:
+        name, labels = "instance", np.arange(B, dtype=np.float32)
     cmap = plt.get_cmap("viridis")
     for i in range(B):
         ax1.plot(
@@ -186,7 +191,12 @@ def render_sweep(res: EnsembleResult, output: str) -> str:
     ax1.set_title("av_vels per instance")
     if B <= 10:
         ax1.legend(fontsize=7)
-    ax2.plot(labels, res.av_vels[-1], "o-")
+    final = (
+        res.av_vels[-1]
+        if res.av_vels.shape[0]
+        else np.full(B, np.nan, dtype=np.float32)
+    )
+    ax2.plot(labels, final, "o-")
     ax2.set_xlabel(name)
     ax2.set_ylabel("final av_velocity")
     ax2.set_title(f"final av vs {name}")
