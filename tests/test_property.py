@@ -142,3 +142,49 @@ def test_temporal_sweep_matches_jnp_on_random_scenes(seed):
         np.asarray(tots, np.float32), np.asarray(tots_ref, np.float32),
         rtol=1e-4,
     )
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_ca_matches_sync_on_random_scenes(seed):
+    """Random lane-aligned geometry and parameters: the communication-
+    avoiding mode must track sync within interpret-mode ulps at a random
+    exchange depth (walls or open wrap seam decided by the draw)."""
+    import jax
+
+    from lbm_tpu.parallel import mesh as mesh_lib
+    from lbm_tpu.parallel import modes
+
+    rng = np.random.default_rng(3000 + seed)
+    shards = int(rng.choice([2, 4]))
+    nloc = int(rng.choice([8, 16]))
+    ny = shards * nloc
+    K = int(rng.choice([2, 3, 4]))
+    params = LBMParams(
+        nx=128, ny=ny, max_iters=2 * K, reynolds_dim=10,
+        density=float(rng.uniform(0.05, 0.3)),
+        accel=float(rng.uniform(0.001, 0.01)),
+        omega=float(rng.uniform(0.8, 1.9)),
+    )
+    mask = rng.random((ny, 128)) < rng.uniform(0.0, 0.25)
+    if rng.random() < 0.5:
+        mask[0, :] = mask[-1, :] = True  # walled seam; else open wrap
+    mask[ny // 2, 64] = False
+
+    mesh = mesh_lib.make_row_mesh(shards)
+    try:
+        ca = modes.build_sharded_program(
+            params, mask, mesh, mode="ca", staleness=K
+        )
+    except ValueError:
+        pytest.skip(f"{nloc}-row shards cannot map K={K}")
+    sync = modes.build_sharded_program(params, mask, mesh, mode="sync")
+
+    st_c, st_s = ca.init_state, sync.init_state
+    step_c, step_s = jax.jit(ca.step), jax.jit(sync.step)
+    for _ in range(params.max_iters // K):
+        st_c, _ = step_c(st_c)
+        for _ in range(K):
+            st_s, _ = step_s(st_s)
+    np.testing.assert_allclose(
+        np.asarray(ca.f_of(st_c)), np.asarray(sync.f_of(st_s)), atol=1e-6
+    )
