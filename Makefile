@@ -7,7 +7,7 @@ NATIVE_DIR := native
 NATIVE_BUILD := $(NATIVE_DIR)/build
 NATIVE_LIB := $(NATIVE_BUILD)/liblbmio.so
 
-.PHONY: all native test check clean
+.PHONY: all native test check check-all perfcheck clean
 
 all: native
 
@@ -34,6 +34,10 @@ check: native
 # accelerator and check against all golden data the mirror provides.
 check-all: native
 	bash scripts/check_all.sh
+
+# Perf regression gate: one quick bench per kernel path, conservative floors
+perfcheck:
+	python -m lbm_tpu.tools.perfcheck
 
 clean:
 	rm -rf $(NATIVE_BUILD)

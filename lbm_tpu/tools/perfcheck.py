@@ -1,0 +1,54 @@
+"""Performance regression gate (``make perfcheck``).
+
+Runs a quick bench on one representative grid per kernel path and fails if
+any falls below a conservative floor.  Floors sit at roughly HALF the
+best-of-N rates recorded in BENCHMARKS.md so the shared TPU tunnel's
+run-to-run spread (up to ~2x) does not produce false alarms — this catches
+"the kernel fell off its fast path" regressions (wrong kernel selected,
+fold/temporal disabled, pipeline deoptimized), not percent-level drift.
+"""
+
+from __future__ import annotations
+
+import sys
+
+# (grid, storage, steps) -> floor MLUPS.  One row per kernel path:
+# VMEM-resident, single-step block, temporal K=2 (cached), temporal K=8
+# (DRAM), i16 storage.
+CHECKS = [
+    ("128x128", "f32", 20000, 6000, "VMEM-resident kernel"),
+    ("1024x1024", "f32", 4000, 8500, "single-step block kernel"),
+    ("512x512", "f32", 4000, 6000, "temporal sweep K=2 (cached)"),
+    ("2048x2048", "f32", 2000, 6000, "temporal sweep K=8 (DRAM)"),
+    ("2048x2048", "i16", 2000, 9000, "int16 storage path"),
+]
+
+
+def main() -> int:
+    from lbm_tpu.tools.bench import run_bench
+
+    failures = []
+    for grid, storage, steps, floor, label in CHECKS:
+        r = run_bench(grid=grid, steps=steps, repeats=2, storage=storage)
+        v = r["value"]
+        ok = v >= floor
+        print(
+            f"{'OK  ' if ok else 'FAIL'} {grid:>9s} {storage}  "
+            f"{v:8.0f} MLUPS  (floor {floor}; {label})",
+            flush=True,
+        )
+        if not ok:
+            failures.append((grid, storage, v, floor))
+    if failures:
+        print(
+            f"{len(failures)} path(s) below their regression floor — "
+            "see BENCHMARKS.md for the expected rates",
+            file=sys.stderr,
+        )
+        return 1
+    print("all kernel paths at speed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
