@@ -57,7 +57,14 @@ def worker(argv: list[str] | None = None) -> int:
     from lbm_tpu.parallel import mesh as mesh_lib
     from lbm_tpu.parallel import modes
 
-    ny = nx = 16
+    if args.mode == "ca":
+        # ca runs the temporal pallas slab sweep: lane-aligned width and
+        # >= 8 rows per shard (8 global devices -> 64 rows).
+        ny, nx = 8 * n_global, 128
+        backend, staleness = "pallas", 2
+    else:
+        ny = nx = 16
+        backend, staleness = "jnp", 1
     params = LBMParams(
         nx=nx, ny=ny, max_iters=args.steps, reynolds_dim=10,
         density=0.1, accel=0.005, omega=1.85,
@@ -68,12 +75,14 @@ def worker(argv: list[str] | None = None) -> int:
 
     mesh = mesh_lib.make_row_mesh(n_global)
     prog = modes.build_sharded_program(
-        params, mask, mesh, mode=args.mode, backend="jnp"
+        params, mask, mesh, mode=args.mode, backend=backend,
+        staleness=staleness,
     )
     step = jax.jit(prog.step)
     state = prog.init_state
-    for _ in range(args.steps):
+    for _ in range(args.steps // prog.steps_per_call):
         state, tot_u = step(state)
+    steps_run = (args.steps // prog.steps_per_call) * prog.steps_per_call
 
     # Replicate the global result so every process holds the full field.
     from jax.sharding import NamedSharding, PartitionSpec as P
@@ -87,11 +96,21 @@ def worker(argv: list[str] | None = None) -> int:
     sprog = modes.build_single_program(params, mask, backend="jnp")
     sstep = jax.jit(sprog.step)
     f_ref = sprog.init_state
-    for _ in range(args.steps):
+    for _ in range(steps_run):
         f_ref, _ = sstep(f_ref)
     f_ref = np.asarray(f_ref)
 
-    if args.mode in ("sync", "overlap"):
+    if args.mode == "ca":
+        # Exact mode, but the pallas slab sweep on CPU interpret differs
+        # from the jnp reference by ~1 ulp per step.
+        if not np.allclose(f_full, f_ref, atol=1e-6):
+            print(
+                f"process {args.process_id}: ca MISMATCH "
+                f"max|diff|={np.abs(f_full - f_ref).max()}",
+                file=sys.stderr,
+            )
+            return 1
+    elif args.mode in ("sync", "overlap"):
         if not np.array_equal(f_full, f_ref):
             print(
                 f"process {args.process_id}: MISMATCH "
@@ -105,9 +124,11 @@ def worker(argv: list[str] | None = None) -> int:
             print(f"process {args.process_id}: deviation {rel}", file=sys.stderr)
             return 1
 
+    # Multi-step programs (ca) return a (K,) tot vector; report the last step.
+    tot_last = float(np.asarray(tot_u).reshape(-1)[-1])
     print(
         f"DIST_SMOKE_OK process={args.process_id}/{args.num_processes} "
-        f"devices={n_global} mode={args.mode} tot_u={float(tot_u):.6e}",
+        f"devices={n_global} mode={args.mode} tot_u={tot_last:.6e}",
         flush=True,
     )
     return 0

@@ -37,7 +37,7 @@ def _spawn(pid: int, nprocs: int, port: int, mode: str):
     )
 
 
-@pytest.mark.parametrize("mode", ["sync", "async"])
+@pytest.mark.parametrize("mode", ["sync", "async", "ca"])
 def test_two_process_smoke(mode):
     port = _free_port()
     procs = [_spawn(i, 2, port, mode) for i in range(2)]
