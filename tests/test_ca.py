@@ -124,3 +124,23 @@ def test_ca_driver_end_to_end(ca_scene):
     assert res_ca.variant == "ca-4"
     np.testing.assert_allclose(res_ca.f, res_sync.f, atol=5e-7)
     np.testing.assert_allclose(res_ca.av_vels, res_sync.av_vels, rtol=1e-4)
+
+
+def test_ca_lane_padded_grid(mesh4):
+    """ca on a non-lane-aligned width: the slab sweep runs in the padded
+    clone-column layout and still matches sync."""
+    params = LBMParams(
+        nx=100, ny=32, max_iters=8, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    r = np.random.default_rng(31)
+    mask = r.random((32, 100)) < 0.08
+    mask[0, :] = mask[-1, :] = True
+    sync = modes.build_sharded_program(params, mask, mesh4, mode="sync")
+    ca = modes.build_sharded_program(
+        params, mask, mesh4, mode="ca", staleness=2
+    )
+    f_sync, tot_sync = _run(sync, steps=8)
+    f_ca, tot_ca = _run(ca, steps=8)
+    np.testing.assert_allclose(f_ca, f_sync, atol=5e-7)
+    np.testing.assert_allclose(tot_ca, tot_sync, rtol=1e-4)
