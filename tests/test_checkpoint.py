@@ -97,3 +97,30 @@ def test_checkpoint_and_resume_ca(tmp_path):
         run_simulation(
             sc, RunConfig(**cfg, checkpoint_every=6, checkpoint_dir=str(ckdir))
         )
+
+
+def test_checkpoint_and_resume_i16(tmp_path):
+    """i16 runs checkpoint the dequantized f32 state; resume re-quantizes.
+    quantize(dequantize(q)) is the identity for in-range values (the codec
+    rounds to the nearest step), so the resumed run matches the
+    uninterrupted one exactly."""
+    from lbm_tpu.params import LBMParams
+
+    params = LBMParams(
+        nx=128, ny=16, max_iters=16, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    mask = np.zeros((16, 128), dtype=bool)
+    mask[0, :] = mask[-1, :] = True
+    sc = Scene(params=params, obstacles=mask)
+    cfg = dict(variant="pallas", storage="i16", temporal_k=1)
+    ref = run_simulation(sc, RunConfig(**cfg))
+
+    ckdir = tmp_path / "ck"
+    run_simulation(
+        sc, RunConfig(**cfg, checkpoint_every=8, checkpoint_dir=str(ckdir))
+    )
+    cks = sorted(ckdir.glob("ckpt_*.npz"))
+    res = run_simulation(sc, RunConfig(**cfg, resume_from=str(cks[0])))
+    np.testing.assert_array_equal(res.f, ref.f)
+    np.testing.assert_allclose(res.av_vels, ref.av_vels, rtol=1e-6)
