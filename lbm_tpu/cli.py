@@ -237,6 +237,14 @@ def cmd_animate(args: argparse.Namespace) -> int:
 
     out = animate_directory(args.frames_dir, args.output, fps=args.fps)
     print(f"wrote {out}")
+    if args.preview:
+        # Reference emits a reduced key-frame preview GIF alongside the full
+        # one (Visualization/animation.py:139-198: every 20th frame, 3 fps).
+        root, ext = os.path.splitext(args.output)
+        pv = animate_directory(
+            args.frames_dir, f"{root}_preview{ext or '.gif'}", fps=3, every=20
+        )
+        print(f"wrote {pv} (preview, every 20th frame)")
     return 0
 
 
@@ -383,6 +391,10 @@ def main(argv: list[str] | None = None) -> int:
     p_anim.add_argument("frames_dir")
     p_anim.add_argument("--output", default="animation.gif")
     p_anim.add_argument("--fps", type=int, default=10)
+    p_anim.add_argument(
+        "--preview", action="store_true",
+        help="also emit a reduced key-frame preview GIF (every 20th frame)",
+    )
 
     p_gold = sub.add_parser("golden", help="regenerate golden data for a scene")
     p_gold.add_argument("paramfile")

@@ -399,6 +399,10 @@ def make_sweep(
     )
     if folded_io and F == 1:
         raise ValueError("folded_io requires a foldable width (nx = F*1024)")
+    if F > 1 and not folded_io:
+        raise ValueError(
+            "F>1 requires folded_io=True (pass the (9, ny*F, nx/F) view)"
+        )
     KF = K * F
 
     obst_f = (

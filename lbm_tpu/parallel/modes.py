@@ -154,6 +154,16 @@ def _temporal_run_all(
         else temporal_pallas.pick_k(params, storage)
     )
     if K < 2 or not temporal_pallas.supports(params, K, clone_cols_nx):
+        if temporal_k is not None and temporal_k >= 2:
+            import warnings
+
+            warnings.warn(
+                f"--temporal-k {temporal_k} was requested but the "
+                f"{params.nx}x{params.ny} grid cannot map the temporal "
+                "sweep at that depth; falling back to the single-step "
+                "kernel (use --plan to see the mapping constraints)",
+                stacklevel=2,
+            )
         return None
 
     obst = np.asarray(obstacles)
@@ -998,8 +1008,13 @@ def build_sharded_program(
         mesh=mesh,
         variant=f"{mode}"
         + (
-            f"-{staleness}"
-            if mode in ("async", "chunked", "ca") and staleness > 1
+            # ca reports its *effective* exchange depth, not the raw
+            # staleness knob (ca_depth(1)=2: --staleness 1 still runs a
+            # 2-step schedule and the label must say so).
+            f"-{ca_depth(staleness)}"
+            if mode == "ca"
+            else f"-{staleness}"
+            if mode in ("async", "chunked") and staleness > 1
             else ""
         )
         + ("-i16" if storage == "i16" else ""),

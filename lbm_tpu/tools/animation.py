@@ -50,9 +50,13 @@ def read_frame_file(path: str) -> tuple[np.ndarray, dict]:
     return vals, {k: int(v) for k, v in meta.items()}
 
 
-def animate_directory(frames_dir: str, output: str, fps: int = 10) -> str:
+def animate_directory(
+    frames_dir: str, output: str, fps: int = 10, every: int = 1
+) -> str:
     """Build a GIF from a directory of frame files (Visualization/animation.py
-    analog)."""
+    analog).  ``every`` subsamples to every N-th frame — the reference's
+    quick-preview variant (Visualization/animation.py:146-198 keeps every
+    20th frame at reduced dpi/fps)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -62,6 +66,7 @@ def animate_directory(frames_dir: str, output: str, fps: int = 10) -> str:
     paths = sorted(glob.glob(os.path.join(frames_dir, "velocity_magnitude_*.dat")))
     if not paths:
         raise FileNotFoundError(f"no velocity_magnitude_*.dat frames in {frames_dir}")
+    paths = paths[:: max(1, every)]
     frames = [read_frame_file(p)[0] for p in paths]
     vmax = max(float(f.max()) for f in frames) or 1.0
 

@@ -16,8 +16,8 @@ import sys
 # VMEM-resident, single-step block, temporal K=2 (cached), temporal K=8
 # (DRAM), i16 storage.
 CHECKS = [
-    ("128x128", "f32", 20000, 6000, "VMEM-resident kernel"),
-    ("1024x1024", "f32", 4000, 8500, "single-step block kernel"),
+    ("128x128", "f32", 20000, 5500, "VMEM-resident kernel"),
+    ("1024x1024", "f32", 4000, 7500, "single-step block kernel"),
     ("512x512", "f32", 4000, 6000, "temporal sweep K=2 (cached)"),
     ("2048x2048", "f32", 2000, 6000, "temporal sweep K=8 (DRAM)"),
     ("2048x2048", "i16", 2000, 9000, "int16 storage path"),

@@ -98,6 +98,17 @@ def test_ca_i16(ca_scene, mesh4):
     assert np.abs(f - f_sync).max() < 1e-4
 
 
+def test_ca_label_reports_effective_depth(ca_scene, mesh4):
+    # --staleness 1 still runs a ca_depth(1)=2 schedule; the label must say
+    # the depth actually executed (ADVICE r2).
+    params, mask = ca_scene
+    ca = modes.build_sharded_program(
+        params, mask, mesh4, mode="ca", staleness=1
+    )
+    assert ca.variant == "ca-2"
+    assert ca.steps_per_call == 2
+
+
 def test_ca_rejects_unmappable_shards(mesh4):
     # 8 rows over 4 shards -> 2-row shards: below the sweep's block minimum.
     params = LBMParams(

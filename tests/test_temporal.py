@@ -102,6 +102,26 @@ def test_i16_storage_stays_inside_quant_tolerance():
     assert np.all(np.isfinite(np.asarray(tots)))
 
 
+def test_folded_width_requires_folded_io():
+    # F>1 without folded_io would slice an unfolded array with folded-view
+    # indices; must fail loudly instead (ADVICE r2).
+    params, mask = _scene(16, 2048, seed=5)
+    with pytest.raises(ValueError, match="folded_io=True"):
+        temporal_pallas.make_sweep(params, mask, K=2, folded_io=False)
+
+
+def test_forced_temporal_k_warns_when_unmappable():
+    # An explicit --temporal-k the grid cannot map must warn, not silently
+    # fall back to the single-step kernel (ADVICE r2).
+    from lbm_tpu.parallel import modes
+
+    params, mask = _scene(8, 128, seed=2)  # ny=8 < 2K for K=8
+    assert not temporal_pallas.supports(params, 8)
+    with pytest.warns(UserWarning, match="temporal"):
+        hook = modes._temporal_run_all(params, mask, temporal_k=8)
+    assert hook is None
+
+
 def test_supports_guards():
     params, _ = _scene(32, 128, seed=0)
     assert temporal_pallas.supports(params, 2)

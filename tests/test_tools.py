@@ -56,6 +56,12 @@ def test_animate_and_viz(tmp_path, small_params, small_obstacles):
     gif = animation.animate_directory(str(tmp_path / "ad"), str(tmp_path / "a.gif"), fps=5)
     assert (tmp_path / "a.gif").stat().st_size > 100
 
+    # subsampled preview variant (Visualization/animation.py:146-198)
+    animation.animate_directory(
+        str(tmp_path / "ad"), str(tmp_path / "p.gif"), fps=3, every=2
+    )
+    assert (tmp_path / "p.gif").stat().st_size > 100
+
     # final_state -> 4-panel png through the CLI
     from lbm_tpu.core import lattice
     from lbm_tpu.io import writers
