@@ -206,6 +206,8 @@ def _make_scan(
                 "instead"
             )
         if num_steps % spc:
+            # run_simulation splits off a sync tail before calling here; a
+            # non-multiple reaching this point is an internal error.
             raise ValueError(
                 f"{program.variant} advances {spc} steps per exchange; the "
                 f"step count {num_steps} must be a multiple of it"
@@ -346,6 +348,12 @@ def _run_with_checkpoints(
     assert seg is not None and seg > 0
     if program.steps_per_call > 1 and seg % program.steps_per_call:
         raise ValueError("checkpoint_every must be a multiple of the chunk size")
+    if program.steps_per_call > 1 and (num_steps - start_step) % program.steps_per_call:
+        raise ValueError(
+            f"checkpointed {program.variant} runs require the step count to "
+            f"be a multiple of the {program.steps_per_call}-step chunk "
+            "(drop --checkpoint-every to run the remainder as a sync tail)"
+        )
 
     remaining = num_steps - start_step
     seg_lengths = [seg] * (remaining // seg)
@@ -454,26 +462,50 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
 
     remaining = num_steps - start_step
     state0 = program.init_state
-    seg_lengths = _segment_lengths(remaining, config, program)
+
+    # Multi-step programs (ca advances K steps per exchange, chunked k): a
+    # step count that is not a multiple runs the remainder as an exact sync
+    # tail — the single-step-tail pattern the temporal kernel uses
+    # (ops/temporal_pallas.py make_run_all).  Both programs' states carry the
+    # same sharded (and same-storage) distribution array, and ca/chunked are
+    # seam-consistent at every exchange boundary, so feeding the bulk-final f
+    # into the sync program continues the run bitwise (VERDICT r2 #5).
+    spc = program.steps_per_call
+    tail_steps = (
+        remaining % spc
+        if spc > 1 and config.frame_interval is None and not config.debug
+        else 0
+    )
+    bulk = remaining - tail_steps
+    tail_program = None
+    tail_exec = None
+    if tail_steps:
+        tail_cfg = dataclasses.replace(
+            config, variant="sync", staleness=None, temporal_k=None
+        )
+        tail_program = build_program(scene, tail_cfg, f0=f_resume)
+        tail_exec = (
+            _make_scan(tail_program, tail_steps, None, False)
+            .lower(tail_program.init_state)
+            .compile()
+        )
+    # ca carries bare f; chunked/async carry (f, ghosts...) — sync re-derives
+    # ghosts from f at the start of each step, so only f crosses over.
+    tail_state_of = (lambda s: s[0]) if isinstance(state0, tuple) else (lambda s: s)
+
+    seg_lengths = _segment_lengths(bulk, config, program) if bulk else []
     if seg_lengths is None:
-        seg_lengths = [remaining]
+        seg_lengths = [bulk]
+    if seg_lengths:
         compiled = {
-            remaining: _make_scan(
-                program, remaining, config.frame_interval, config.debug,
+            n: _make_scan(
+                program, n, config.frame_interval, config.debug,
                 donate=config.donate,
             ).lower(state0).compile()
-        }
-    else:
-        # Compile one executable per distinct segment length (normally the
-        # fixed length plus at most one remainder) — compilation is init
-        # cost, as the reference's timed Compute section starts after
-        # initialise.
-        compiled = {
-            n: _make_scan(program, n, None, False, donate=config.donate)
-            .lower(state0)
-            .compile()
             for n in sorted(set(seg_lengths))
         }
+    else:
+        compiled = {}
     timer.stop("init")
 
     def _execute():
@@ -481,6 +513,9 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
         tot_parts = []
         for n in seg_lengths:
             state, tot_us, frames = compiled[n](state)
+            tot_parts.append(tot_us)
+        if tail_exec is not None:
+            state, tot_us, _ = tail_exec(tail_state_of(state))
             tot_parts.append(tot_us)
         jax.block_until_ready(tot_parts[-1])
         return state, tot_parts, frames
@@ -506,7 +541,8 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
         tot_us = np.concatenate(
             [np.asarray(jax.device_get(t), dtype=np.float32) for t in tot_parts]
         )
-    f = np.asarray(jax.device_get(program.f_of(state)), dtype=np.float32)
+    f_of = tail_program.f_of if tail_program is not None else program.f_of
+    f = np.asarray(jax.device_get(f_of(state)), dtype=np.float32)
     av_vels = tot_us / np.float32(program.tot_cells)
     if start_step:
         av_vels = np.concatenate([av_prefix, av_vels])
@@ -533,7 +569,8 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
         av_vels=av_vels,
         reynolds=reynolds,
         timer=timer,
-        variant=program.variant,
+        variant=program.variant
+        + (f"+sync-tail{tail_steps}" if tail_steps else ""),
         frames=frames_np,
         frame_steps=frame_steps,
         steps_computed=num_steps - start_step,

@@ -165,9 +165,12 @@ def describe_plan(scene: Scene, config) -> str:
                         f"K={K_ca}")
         spc = K_ca if variant == "ca" else stal if variant == "chunked" else 1
 
-    if spc > 1 and num_steps % spc:
-        out(f"NOTE: this run will FAIL — {variant} advances {spc} steps per "
-            f"exchange and {num_steps} is not a multiple of it")
+    tail = num_steps % spc if spc > 1 else 0
+    if tail and (config.frame_interval is not None or config.debug):
+        tail = 0  # frames/debug reject multi-step programs before tailing
+    if tail:
+        out(f"tail: {variant} advances {spc} steps per exchange; the last "
+            f"{tail} step(s) run as an exact sync tail (bitwise continuation)")
 
     if config.checkpoint_every:
         n_full, rem = divmod(num_steps, config.checkpoint_every)
@@ -177,13 +180,18 @@ def describe_plan(scene: Scene, config) -> str:
         if spc > 1 and config.checkpoint_every % spc:
             out(f"NOTE: this run will FAIL — checkpoint_every must be a "
                 f"multiple of the {spc}-step chunk")
+        if tail:
+            out(f"NOTE: this run will FAIL — checkpointed {variant} runs "
+                f"require the step count to be a multiple of the {spc}-step "
+                "chunk")
         return "\n".join(lines)
 
+    bulk = num_steps - tail
     seg = config.segment_steps
     seg = driver._SEGMENT_STEPS if seg is None else seg
-    if seg > 0 and num_steps > seg and not config.debug and config.frame_interval is None:
+    if seg > 0 and bulk > seg and not config.debug and config.frame_interval is None:
         seg += (-seg) % spc  # driver keeps segments whole numbers of chunks
-        n_full, rem = divmod(num_steps, seg)
+        n_full, rem = divmod(bulk, seg)
         out(f"execution: {n_full} compiled segment(s) of {seg} steps"
             + (f" + one of {rem}" if rem else "")
             + "  (persistent compile cache applies)")
