@@ -7,7 +7,7 @@ NATIVE_DIR := native
 NATIVE_BUILD := $(NATIVE_DIR)/build
 NATIVE_LIB := $(NATIVE_BUILD)/liblbmio.so
 
-.PHONY: all native test check check-all perfcheck clean
+.PHONY: all native test check check-all perfcheck verify clean
 
 all: native
 
@@ -38,6 +38,12 @@ check-all: native
 # Perf regression gate: one quick bench per kernel path, conservative floors
 perfcheck:
 	python -m lbm_tpu.tools.perfcheck
+
+# On-device correctness artifact: kernel-path bitwise probes + a golden
+# prefix run on the attached accelerator, recorded in VERIFY_TPU.json
+# (also run automatically by bench.py each round).
+verify:
+	python -m lbm_tpu.tools.verify_device
 
 clean:
 	rm -rf $(NATIVE_BUILD)

@@ -49,6 +49,26 @@ def main() -> int:
         }
         print(json.dumps(out))
         return 1
+
+    # On-device correctness artifact (VERDICT r2 #7): record kernel-path
+    # bitwise + golden-prefix evidence for this round in VERIFY_TPU.json and
+    # surface the verdict in the bench line.  LBM_BENCH_SKIP_VERIFY=1 skips
+    # (e.g. for quick interactive sweeps).
+    if not os.environ.get("LBM_BENCH_SKIP_VERIFY"):
+        try:
+            from lbm_tpu.tools.verify_device import run_verify
+
+            verify = run_verify()
+        except Exception as e:
+            verify = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "VERIFY_TPU.json"), "w",
+        ) as fp:
+            json.dump(verify, fp, indent=1)
+            fp.write("\n")
+        out["verify_ok"] = bool(verify.get("ok"))
+
     print(json.dumps(out))
     return 0
 

@@ -1,0 +1,167 @@
+"""On-device correctness artifact (``make verify``; run by bench.py).
+
+The pytest suite proves the kernel paths only under CPU interpret (±1 ulp);
+the bitwise-on-TPU claims were previously verified by hand via
+``make check-all`` with nothing recorded per round (VERDICT r2 #6/#7).
+This probe runs the three load-bearing correctness claims on the *real
+device* and writes ``VERIFY_TPU.json`` so every round records kernel-path
+correctness evidence alongside its ``BENCH_r*.json``:
+
+1. temporal K-sweep == jnp step, bitwise on fields (the DRAM-path claim);
+2. VMEM-resident kernel == jnp step, bitwise (the small-grid claim);
+3. a 120-step golden-prefix run against the reference's av_vels series
+   (the <1% contract of /root/reference/check/check.py:136-151).
+
+On CPU (no TPU attached) the bitwise claims relax to interpret-ulp
+tolerance and the artifact records which regime ran.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+REFERENCE = os.environ.get("LBM_REFERENCE", "/root/reference")
+
+
+def _bitwise_budget() -> tuple[str, float]:
+    import jax
+
+    platform = jax.devices()[0].platform
+    # CPU interpret mode accumulates ~1 ulp per step; on TPU the claim is
+    # exact equality (tests/test_temporal.py docstring).
+    return platform, (0.0 if platform == "tpu" else 5e-7)
+
+
+def _temporal_vs_jnp(steps: int = 16, K: int = 8, n: int = 2048) -> float:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from lbm_tpu.core import lattice
+    from lbm_tpu.ops import fused_jnp, temporal_pallas
+    from lbm_tpu.params import LBMParams
+
+    params = LBMParams(nx=n, ny=n, max_iters=steps, reynolds_dim=10,
+                       density=0.1, accel=0.01, omega=1.85)
+    mask = np.zeros((n, n), bool)
+    mask[0, :] = mask[-1, :] = True
+    mask[:, 0] = mask[:, -1] = True
+    obst = jnp.asarray(mask)
+    f0 = jnp.asarray(lattice.equilibrium_rest(params.density, n, n))
+
+    @jax.jit
+    def ref(f):
+        return lax.scan(
+            lambda f, _: fused_jnp.fused_step_single(f, obst, params),
+            f, None, length=steps,
+        )
+
+    f_ref, _ = ref(f0)
+    fold = 2 if n % 2048 == 0 else 1
+    run = jax.jit(temporal_pallas.make_run_all(
+        params, mask, steps, K, folded_io=fold > 1))
+    ft0 = (
+        jnp.asarray(np.asarray(f0).reshape(9, n * fold, n // fold))
+        if fold > 1 else f0
+    )
+    f_t, _ = run(ft0)
+    return float(np.abs(
+        np.asarray(f_t).reshape(9, n, n) - np.asarray(f_ref)
+    ).max())
+
+
+def _resident_vs_jnp(steps: int = 64, n: int = 128) -> float:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from lbm_tpu.core import lattice
+    from lbm_tpu.ops import fused_jnp, resident_pallas
+    from lbm_tpu.params import LBMParams
+
+    params = LBMParams(nx=n, ny=n, max_iters=steps, reynolds_dim=10,
+                       density=0.1, accel=0.005, omega=1.85)
+    mask = np.zeros((n, n), bool)
+    mask[0, :] = mask[-1, :] = True
+    mask[:, 0] = mask[:, -1] = True
+    obst = jnp.asarray(mask)
+    f0 = jnp.asarray(lattice.equilibrium_rest(params.density, n, n))
+
+    @jax.jit
+    def ref(f):
+        return lax.scan(
+            lambda f, _: fused_jnp.fused_step_single(f, obst, params),
+            f, None, length=steps,
+        )
+
+    f_ref, _ = ref(f0)
+    run = jax.jit(resident_pallas.make_run_all(params, mask, steps))
+    f_r, _ = run(f0)
+    return float(np.abs(np.asarray(f_r) - np.asarray(f_ref)).max())
+
+
+def _golden_prefix(steps: int = 120, grid: str = "128x128") -> float:
+    """Max per-step av_vels %-difference vs the reference golden prefix."""
+    import numpy as np
+
+    from lbm_tpu.io.scene import load_scene
+    from lbm_tpu.models.driver import RunConfig, run_simulation
+
+    scene = load_scene(
+        os.path.join(REFERENCE, f"dataSet/input_{grid}.params"),
+        os.path.join(REFERENCE, f"dataSet/obstacles_{grid}.dat"),
+    )
+    res = run_simulation(scene, RunConfig(num_steps=steps))
+    golden = np.loadtxt(
+        os.path.join(REFERENCE, f"check/{grid}.av_vels.dat"),
+        usecols=1, max_rows=steps,
+    )
+    return float(np.abs(100.0 * (res.av_vels - golden) / golden).max())
+
+
+def run_verify() -> dict:
+    from lbm_tpu.utils.compcache import enable_persistent_cache
+
+    enable_persistent_cache()
+    platform, atol = _bitwise_budget()
+    report: dict = {"platform": platform, "bitwise_atol": atol}
+
+    d_t = _temporal_vs_jnp()
+    report["temporal_vs_jnp_maxdiff"] = d_t
+    report["temporal_bitwise"] = d_t <= atol
+
+    d_r = _resident_vs_jnp()
+    report["resident_vs_jnp_maxdiff"] = d_r
+    report["resident_bitwise"] = d_r <= atol
+
+    pct = _golden_prefix()
+    report["golden_prefix_max_pct"] = pct
+    report["golden_prefix_ok"] = pct < 1.0
+
+    report["ok"] = bool(
+        report["temporal_bitwise"]
+        and report["resident_bitwise"]
+        and report["golden_prefix_ok"]
+    )
+    return report
+
+
+def main() -> int:
+    out_path = os.environ.get("LBM_VERIFY_OUT", "VERIFY_TPU.json")
+    try:
+        report = run_verify()
+    except Exception as e:  # record the failure, don't hide it
+        report = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+    with open(out_path, "w") as fp:
+        json.dump(report, fp, indent=1)
+        fp.write("\n")
+    print(json.dumps(report))
+    return 0 if report.get("ok") else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -140,6 +140,26 @@ def test_regenerated_1024_golden_matches_reference_av_vels():
 
 @requires_reference
 @pytest.mark.slow
+def test_1024_prefix_matches_numpy_oracle():
+    """Anchor the 1024^2 golden's provenance OUTSIDE the JAX stack
+    (VERDICT r2 #8): the jnp path's first 120 steps match the pure-NumPy
+    serial oracle (C expression order) at the flagship grid, and both match
+    the reference's surviving av_vels golden prefix.  ~4 min (oracle is
+    ~2 s/step at 1M cells), hence slow-marked."""
+    from lbm_tpu.core import oracle
+
+    steps = 120
+    scene = _scene("1024x1024")
+    f_o, av_o = oracle.run(scene.params, scene.obstacles, num_steps=steps)
+    res = run_simulation(scene, RunConfig(variant="jnp", num_steps=steps))
+    np.testing.assert_allclose(res.f, f_o, atol=2e-7)
+    np.testing.assert_allclose(res.av_vels, av_o, rtol=1e-4)
+    diff = compare_series(_golden_av("1024x1024", steps), av_o)
+    assert abs(diff.max_diff_pcnt) < 0.1, diff
+
+
+@requires_reference
+@pytest.mark.slow
 def test_full_256_run_matches_regenerated_final_state():
     """Full 256x256 run vs the committed final_state regression golden."""
     import pathlib
