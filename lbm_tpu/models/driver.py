@@ -105,18 +105,39 @@ def _pick_variant(scene: Scene, config: RunConfig) -> str:
     if variant != "auto":
         return variant
     # Multi-device auto: use the mesh — the reference's default IS the
-    # parallel binary (MPI/d2q9-bgk.c:130-331).  The stale-fraction model
-    # (BENCHMARKS.md: 1.6% stale rows -> ~0.15% deviation, 3% -> ~0.5%)
-    # picks the fast async discipline when its deviation stays comfortably
-    # inside the reference's 1% contract; otherwise the bitwise-exact
-    # comm/compute-overlap discipline.
+    # parallel binary (MPI/d2q9-bgk.c:130-331).  Discipline choice, from
+    # measurement (VERDICT r2 #4):
+    #
+    # 1. DRAM-bound shards (per-shard working set > 80 MB): the EXACT
+    #    communication-avoiding mode where it maps.  In this regime the
+    #    temporal sweep is also the fastest single-chip kernel
+    #    (BENCHMARKS.md K-table: 2048^2 f32 14.5k vs 4.1k single-step) and
+    #    ca issues one K-deep exchange per K steps — the only
+    #    discipline-level win the op-count comparison shows
+    #    (scripts/exp_disciplines.py: amortized modes 1.2-2.4x sync on
+    #    collective-launch overhead; per-step disciplines within noise).
+    # 2. Cached-regime shards: ca's sweep kernel is SLOWER than the
+    #    single-step slab kernel (per-shard 9.5-11.4k vs ~15k,
+    #    BENCHMARKS.md ca section), so the per-step disciplines win: the
+    #    stale-fraction model (1.6% stale rows -> ~0.15% deviation, 3% ->
+    #    ~0.5%) picks the latency-hiding async discipline when its
+    #    deviation stays comfortably inside the reference's 1% contract,
+    #    else the bitwise-exact comm/compute-overlap discipline.
     n_dev = (
         config.num_devices
         if config.num_devices is not None
         else jax.device_count()
     )
     if n_dev > 1:
-        stale_fraction = 2.0 * n_dev / scene.params.ny
+        params = scene.params
+        nloc = -(-params.ny // n_dev)
+        f_bytes = 2 if config.storage == "i16" else 4
+        shard_ws = 2 * 9 * nloc * params.nx * f_bytes
+        if shard_ws > 80 * 2**20 and modes.ca_supported(
+            params, scene.obstacles, n_dev
+        ):
+            return "ca"
+        stale_fraction = 2.0 * n_dev / params.ny
         return "async" if stale_fraction <= 0.03 else "overlap"
     # Auto policy (single chip), from measured v5e numbers:
     # - VMEM-resident Pallas kernel when the whole grid fits on-chip

@@ -138,31 +138,21 @@ def describe_plan(scene: Scene, config) -> str:
             out("NOTE: this run will FAIL — i16 storage requires the pallas "
                 "slab kernel on this layout")
         if variant == "ca":
-            # Mirror build_sharded_program's ca gate (padding included).
-            from lbm_tpu.ops import fused_pallas, temporal_pallas
-
-            pad_cols = 0
-            if backend == "pallas" and nx % 128:
-                p = modes.lane_pad_cols(nx)
-                if (fused_pallas._kernel_footprint(8, nx + p)
-                        <= fused_pallas._VMEM_BUDGET):
-                    pad_cols = p
+            # The SAME gate the build and the auto policy use
+            # (modes.ca_supported) — no drift.
             pad_rows = (-ny) % n_dev
             obstacles = scene.obstacles
             walled = bool(obstacles[0].all() and obstacles[-1].all())
             if pad_rows and not walled:
                 out("NOTE: this run will FAIL — ca does not support "
                     "open-seam row padding (ny not divisible by the mesh)")
-            else:
-                nloc_pad = (ny + pad_rows) // n_dev
-                if backend != "pallas" or not temporal_pallas.supports_shard(
-                    params, nloc_pad, nx + pad_cols, K_ca,
-                    clone_nx=nx if pad_cols else None,
-                ):
-                    out(f"NOTE: this run will FAIL — ca requires the "
-                        f"temporal pallas slab sweep, which cannot map "
-                        f"{nloc_pad}x{nx + pad_cols} shards at depth "
-                        f"K={K_ca}")
+            elif backend != "pallas" or not modes.ca_supported(
+                params, obstacles, n_dev, stal
+            ):
+                out(f"NOTE: this run will FAIL — ca requires the "
+                    f"temporal pallas slab sweep, which cannot map "
+                    f"{(ny + pad_rows) // n_dev}-row shards at depth "
+                    f"K={K_ca}")
         spc = K_ca if variant == "ca" else stal if variant == "chunked" else 1
 
     tail = num_steps % spc if spc > 1 else 0

@@ -308,6 +308,39 @@ def sharded_pallas_supported(ny: int, nx: int, num_shards: int) -> bool:
     return True
 
 
+def ca_supported(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    num_shards: int,
+    staleness: int = STALENESS_DEFAULTS["ca"],
+) -> bool:
+    """Whether ca mode can map this scene over ``num_shards`` — mirrors the
+    build_sharded_program gate exactly (lane padding feasibility, no open
+    seams, temporal slab sweep mapping).  Used by the driver's auto policy
+    and by --plan's will-FAIL prediction."""
+    from lbm_tpu.ops import fused_pallas, temporal_pallas
+
+    ny, nx = obstacles.shape
+    if not sharded_pallas_supported(ny, nx, num_shards):
+        return False
+    pad_cols = 0
+    if nx % fused_pallas.LANE:
+        p = lane_pad_cols(nx)
+        if fused_pallas._kernel_footprint(8, nx + p) > fused_pallas._VMEM_BUDGET:
+            return False
+        pad_cols = p
+    pad_rows = (-ny) % num_shards
+    if pad_rows and not (bool(obstacles[0].all()) and bool(obstacles[-1].all())):
+        return False  # ca rejects open-seam row padding
+    nloc = (ny + pad_rows) // num_shards
+    if nloc < 2:
+        return False
+    return temporal_pallas.supports_shard(
+        params, nloc, nx + pad_cols, ca_depth(staleness),
+        clone_nx=nx if pad_cols else None,
+    )
+
+
 def _i16_single_program(
     params: LBMParams,
     obstacles: np.ndarray,

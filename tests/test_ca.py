@@ -149,6 +149,43 @@ def test_chunked_arbitrary_step_count_runs_sync_tail(ca_scene):
     assert np.all(np.isfinite(res.av_vels))
 
 
+def test_auto_prefers_ca_on_dram_bound_shards():
+    """VERDICT r2 #4: the multi-device auto policy picks the exact
+    comm-avoiding discipline when the per-shard working set is DRAM-bound
+    and ca maps; cached-regime shards keep the async/overlap rule."""
+    from lbm_tpu.io.scene import Scene
+    from lbm_tpu.models.driver import _pick_variant
+
+    # 8192x2048 over 4 shards: 2048-row shards, ws = 2*9*2048*2048*4 = 302MB.
+    params = LBMParams(
+        nx=2048, ny=8192, max_iters=4, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    mask = np.zeros((8192, 2048), dtype=bool)
+    mask[0, :] = mask[-1, :] = True
+    scene = Scene(params=params, obstacles=mask)
+    assert _pick_variant(scene, RunConfig(num_devices=4)) == "ca"
+
+    # Cached regime (128-row shards over 512 cols): stale fraction
+    # 2*4/512 = 1.6% <= 3% -> async, as before.
+    params_s = params.replace(ny=512, nx=512)
+    mask_s = np.zeros((512, 512), dtype=bool)
+    mask_s[0, :] = mask_s[-1, :] = True
+    scene_s = Scene(params=params_s, obstacles=mask_s)
+    assert _pick_variant(scene_s, RunConfig(num_devices=4)) == "async"
+
+
+def test_ca_supported_mirrors_build_gate(ca_scene, mesh4):
+    params, mask = ca_scene
+    assert modes.ca_supported(params, mask, 4, staleness=2)
+    # 8 rows over 4 shards: below the sweep's block minimum -> both the
+    # predicate and the build reject.
+    tiny = params.replace(ny=8)
+    tiny_mask = np.zeros((8, 128), dtype=bool)
+    tiny_mask[0, :] = tiny_mask[-1, :] = True
+    assert not modes.ca_supported(tiny, tiny_mask, 4, staleness=2)
+
+
 def test_ca_label_reports_effective_depth(ca_scene, mesh4):
     # --staleness 1 still runs a ca_depth(1)=2 schedule; the label must say
     # the depth actually executed (ADVICE r2).
