@@ -1,0 +1,592 @@
+"""Skewed (parallelogram) K-step temporal sweep: zero-recompute blocking.
+
+The trapezoid temporal kernel (ops/temporal_pallas.py) pays, per block, a
+K*F-row ghost-group fetch plus K(K-1)F/2 rows of boundary recompute — the
+strips above the body are computed by BOTH the block that needs them and the
+block that owns them.  Its VMEM floor also scales with nx*K (minimum block
+height = align8(K*F)), which is what forbids f32 K=8 at 4096^2.
+
+This kernel removes both costs with the classic time-skewed schedule: the
+level-l window of block b covers view rows [bB - lF, bB + B - lF) — every
+level shifts DOWN one original row (F view rows).  Computing level l over a
+shifted window needs exactly the 2F rows below the previous block's shifted
+window, which that block just produced — so each level consumes a 2F-row
+VMEM carry and there is NO ghost fetch and NO recompute: every (level, row)
+pair in the grid is computed exactly once per sweep.  Per-block VMEM no
+longer scales with K*F beyond the small carries, which is what unlocks
+K=8 f32 at 4096^2 (VERDICT r2 #6).
+
+The price is a cyclic rotation: block b's level-K rows are [bB-KF, bB+B-KF),
+so writing them at block position b leaves the output state rotated DOWN by
+K original rows (out[r] = f_K[(r - KF) mod rows]).  The rotation is handled
+*semantically*, not with data movement:
+
+- the forward sweep runs on canonical state and produces the rotated state;
+- a mirrored REVERSE sweep (windows shifting UP, blocks processed top-down
+  via reversed index maps, obstacle layout built from the rotated grid, and
+  accel-row index arithmetic offset by -K rows) runs directly on the rotated
+  array and produces the CANONICAL state after K more steps.  Rotating a
+  periodic grid is a relabeling that commutes with the stencil, so the pair
+  is bitwise 2K single steps — no roll/copy of the state ever happens.
+
+Seam: the first-processed block's carries would have to come from the block
+processed last (the periodic wrap).  They are instead recomputed from a
+2KF-row strip of the input (the 2K rows on the wrap side), advanced level
+by level with validity shrinking F rows from BOTH ends per level — sized so
+it is exactly consumed at level K.  Unlike the trapezoid seam the strip is
+self-contained (no main-chain coupling).  It runs only at the seam block
+under pl.when; tracing it unconditionally would cost nb times its work.
+
+All cell math is ops/stencil_math.py, so fields stay bitwise-identical to
+2K applications of the jnp / single-step Pallas step (tested).  tot_u sums
+per-level block partials in a different row grouping than the single-step
+kernel, so av_vels agree to float-sum reordering (~1 ulp), inside the 1%
+contract (reference check/check.py:19-24) by ~5 orders of magnitude.
+
+Reference analog: the fused-sweep bandwidth optimum of
+OpenMP/d2q9-bgk.c:260-498 (all per-step passes in one memory sweep); here K
+whole steps share one sweep and the skew removes the halo recompute that a
+trapezoid schedule would pay.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lbm_tpu.core import lattice
+from lbm_tpu.ops import fused_pallas, quant, stencil_math
+from lbm_tpu.params import LBMParams
+
+F32 = jnp.float32
+NS = lattice.NSPEEDS
+LANE = fused_pallas.LANE
+
+_VMEM_BUDGET = int(15.2 * 1024 * 1024)
+
+
+def _align8(n: int) -> int:
+    return ((n + 7) // 8) * 8
+
+
+def _obst_rows(b: int, K: int, F: int) -> int:
+    """Aligned per-block obstacle rows (the level windows only; the seam
+    strip's obstacles ride a separate once-loaded input — they are read by
+    one block, so shipping them per block would waste ~2KF rows of DMA per
+    block)."""
+    return _align8(b + (K + 1) * F)
+
+
+def _footprint(b: int, nx: int, K: int, F: int, f_bytes: int) -> int:
+    """Estimated scoped-VMEM bytes at block height ``b`` (calibrated like
+    temporal_pallas._footprint: pipeline double buffers + live f32 chain)."""
+    KF = K * F
+    return (
+        # pipeline: 2x body in, 2x body out, strip input
+        f_bytes * NS * nx * (4 * b + 2 * KF)
+        # live f32 chain: ~4 buffers of piece size (win, piece, streamed, out)
+        + 4 * NS * (b + 2 * F) * nx * 4
+        # obstacle window double buffer + strip obstacles (once-loaded)
+        + 2 * _obst_rows(b, K, F) * nx * 4
+        + _align8(2 * KF) * nx * 4
+        # carries + seam strip scratch
+        + NS * K * 2 * F * nx * 4
+        + NS * 2 * KF * nx * 4
+    )
+
+
+def _plan(
+    n_rows: int,
+    nx: int,
+    K: int,
+    clone_nx: int | None = None,
+    storage: str = "f32",
+    block_rows: int | None = None,
+):
+    """Choose (fold, rows_v, nx_v, block_rows); raises ValueError when no
+    layout fits VMEM.  Unlike the trapezoid kernel, B needs only sublane
+    (8-row) alignment — the skew has no ghost-group granularity.
+
+    ``block_rows`` forces an explicit B (tuning / multi-block tests)."""
+    fold = 1 if clone_nx is not None else fused_pallas._fold_factor(nx)
+    rows_v, nx_v = n_rows * fold, nx // fold
+    f_bytes = 2 if storage == "i16" else 4
+    if block_rows is not None:
+        b = block_rows
+        if rows_v % b or b < 2 * fold or (b % 8 and b != rows_v):
+            raise ValueError(
+                f"forced block_rows={b} does not tile a {rows_v}-view-row "
+                f"grid (needs 8-alignment and b >= {2 * fold})"
+            )
+        return fold, rows_v, nx_v, b
+    best = None
+    for b in range(8, rows_v + 1, 8):
+        if rows_v % b or b < 2 * fold:
+            continue
+        if _footprint(b, nx_v, K, fold, f_bytes) <= _VMEM_BUDGET:
+            best = b
+        else:
+            break
+    if best is None and rows_v >= 2 * fold and (
+        _footprint(rows_v, nx_v, K, fold, f_bytes) <= _VMEM_BUDGET
+    ):
+        best = rows_v  # single unaligned block covering the whole grid
+    if best is None:
+        raise ValueError(
+            f"no sublane-aligned row block of a {n_rows}x{nx} grid fits the "
+            f"VMEM budget for the skewed K={K} sweep"
+        )
+    return fold, rows_v, nx_v, best
+
+
+def supports(params: LBMParams, K: int, clone_nx: int | None = None) -> bool:
+    """True when the skewed K-step pair can map this grid.
+
+    Needs the 2K-row seam strip to fit the grid (ny >= 2K); the accel row
+    may sit anywhere — the window row arithmetic is exact modulo the grid,
+    unlike the trapezoid kernel's accel_row >= K restriction."""
+    if K < 2 or params.nx % LANE != 0:
+        return False
+    if params.ny < 2 * K:
+        return False
+    try:
+        _plan(params.ny, params.nx, K, clone_nx)
+    except ValueError:
+        return False
+    return True
+
+
+def _accel_mask(row0, R: int, rot: int, rows_v: int, accel_row: int, F: int):
+    """(R, 1) bool mask of view rows whose ORIGINAL row is the driven row.
+
+    ``row0`` is the array row of local row 0 (may be a traced scalar);
+    ``rot`` converts array rows to true view rows (true = array - rot).
+    Array rows range over (-rows_v, 2*rows_v), so the driven row's view-row
+    interval [accel_row*F, accel_row*F + F) is tested at offsets
+    {-rows_v, 0, +rows_v} — branch-free, no vector mod/div."""
+    x = row0 - rot + jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    a = accel_row * F
+    m = None
+    for j in (-rows_v, 0, rows_v):
+        u = x - (a + j)
+        mj = (u >= 0) & (u < F)
+        m = mj if m is None else (m | mj)
+    return m
+
+
+def _skew_kernel(
+    f_ref,  # (NS, B, nx_v) VMEM: level-0 body rows of block b (pipelined)
+    strip_ref,  # (NS, 2KF, nx_v) VMEM: level-0 seam strip (wrap-side rows)
+    obst_ref,  # (1, P, nx_v) VMEM: per-block level windows [B+(K+1)F | pad]
+    sobst_ref,  # (SA, nx_v) VMEM: seam strip obstacles (once-loaded)
+    out_ref,  # (NS, B, nx_v) VMEM: level-K rows [bB - dir*KF, ...)
+    av_ref,  # (K, 1) f32 SMEM: per-level |u| accumulators
+    *scratch,  # K carry refs (NS, 2F, nx_v) f32 + seam strip (NS, 2KF, nx_v)
+    block_rows: int,
+    K: int,
+    fold: int,
+    rows_v: int,
+    direction: int,  # +1 forward (windows shift down), -1 reverse (up)
+    rot: int,  # input rotation: true view row = array row - rot
+    omega: float,
+    accel_row: int,
+    w1a: float,
+    w2a: float,
+    clone_nx: int | None = None,
+    storage: str = "f32",
+    density: float = 0.0,
+):
+    s = pl.program_id(0)
+    nb = pl.num_programs(0)
+    B = block_rows
+    F = fold
+    KF = K * F
+    dn = direction > 0
+    # Block index: forward sweeps ascend, reverse sweeps descend so carries
+    # always flow from the block processed at the previous grid step.
+    b_row0 = pl.multiple_of(s * B, B) if dn else pl.multiple_of(
+        (nb - 1 - s) * B, B
+    )
+    at_seam = s == 0
+
+    deq, enq = quant.plane_codec(storage, density)
+    w1 = F32(w1a)
+    w2 = F32(w2a)
+    om = F32(omega)
+
+    def refresh_clones(planes):
+        return fused_pallas.refresh_clone_planes(planes, clone_nx)
+
+    def accel_m(row0, R):
+        return _accel_mask(row0, R, rot, rows_v, accel_row, F)
+
+    def stream_win(acc):
+        """Level windows shift by dir*F: out row r pulls cy=+1 from r-F,
+        cy=-1 from r+F.  ``acc`` covers piece rows; the out window sits at
+        piece indices [F, B+F) in BOTH directions (the piece is
+        [carry 2F | win B] forward and [win B | carry 2F] reverse, and the
+        window shift sign cancels the carry placement).  Every slice feeding
+        the lane rotation is materialized as a two-part row-concat — Mosaic
+        requires the canonical layout a concatenate produces."""
+        streamed = []
+        for k in range(NS):
+            cy = lattice.CY[k]
+            if cy == 1:
+                rows = jnp.concatenate([acc[k][:F], acc[k][F:B]], axis=0)
+            elif cy == -1:
+                rows = jnp.concatenate(
+                    [acc[k][2 * F : B + F], acc[k][B + F : B + 2 * F]], axis=0
+                )
+            else:
+                rows = jnp.concatenate([acc[k][F:B], acc[k][B : B + F]], axis=0)
+            streamed.append(fused_pallas._fold_roll_x(rows, lattice.CX[k], F))
+        return streamed
+
+    # --- obstacle window slices -------------------------------------------
+    Wn = B + (K + 1) * F
+    obst_win = obst_ref[0, 0:Wn, :]
+    obst_strip = sobst_ref[0 : 2 * KF, :]
+
+    def win_slices(l: int):
+        """(piece obst, out-window obst, piece row0) at level l, in array
+        coords.  Forward: piece = [bB-(l+1)F, bB+B+ (l-1)F->...); window
+        origin o0 = bB-(K+1)F.  Reverse: piece = [bB+(l-1)F, ...); o0 = bB."""
+        if dn:
+            po = (K - l) * F
+            wo = (K - l + 1) * F
+            row0 = b_row0 - (l + 1) * F
+        else:
+            po = (l - 1) * F
+            wo = l * F
+            row0 = b_row0 + (l - 1) * F
+        return (
+            obst_win[po : po + B + 2 * F],
+            obst_win[wo : wo + B],
+            row0,
+        )
+
+    # --- seam strip advance -------------------------------------------------
+    strip_row0 = rows_v - 2 * KF if dn else rows_v
+    strip_accel = accel_m(strip_row0, 2 * KF)
+    strip_fluid = obst_strip < F32(0.75)
+    strip_obst = obst_strip > F32(0.25)
+
+    def strip_step(sp):
+        """Advance the 2KF-row strip one level.  Validity shrinks F rows
+        from BOTH ends per level; the duplicated end rows fill garbage that
+        is never consumed (valid rows at level l: [lF, 2KF - lF))."""
+        acc = stencil_math.accel_planes(sp, strip_fluid, strip_accel, w1, w2)
+        streamed = []
+        for k in range(NS):
+            cy = lattice.CY[k]
+            if cy == 1:
+                rows = jnp.concatenate(
+                    [acc[k][:F], acc[k][: 2 * KF - F]], axis=0
+                )
+            elif cy == -1:
+                rows = jnp.concatenate(
+                    [acc[k][F : 2 * KF], acc[k][2 * KF - F :]], axis=0
+                )
+            else:
+                rows = jnp.concatenate(
+                    [acc[k][:F], acc[k][F : 2 * KF]], axis=0
+                )
+            streamed.append(fused_pallas._fold_roll_x(rows, lattice.CX[k], F))
+        rho, u_x, u_y = stencil_math.moments(streamed)
+        u_sq = u_x * u_x + u_y * u_y
+        out = stencil_math.collide(
+            streamed, strip_obst, om, rho, u_x, u_y, u_sq
+        )
+        return refresh_clones(out)
+
+    # --- level chain --------------------------------------------------------
+    # Entering level l, ``win`` holds level l-1 over the (l-1)-shifted
+    # window; carries[l-1] holds the 2F adjacent rows from the previously
+    # processed block (the seam block reads the strip instead).  Carries
+    # update AFTER consumption so the next block reads this block's rows.
+    seam_ref = scratch[K]
+    win = [deq(f_ref[k], k) for k in range(NS)]
+    strip = [deq(strip_ref[k], k) for k in range(NS)]
+    for l in range(1, K + 1):
+        carry = scratch[l - 1]
+        if l > 1:
+            strip = [seam_ref[k] for k in range(NS)]
+        # Strip slice standing in for the seam block's carry: array rows
+        # [-(l+1)F, -(l-1)F) fwd / [rows_v+(l-1)F, rows_v+(l+1)F) rev.
+        if dn:
+            ss = 2 * KF - (l + 1) * F
+        else:
+            ss = (l - 1) * F
+        adj = [
+            jnp.where(at_seam, strip[k][ss : ss + 2 * F], carry[k])
+            for k in range(NS)
+        ]
+        save = [win[k][B - 2 * F :] if dn else win[k][: 2 * F]
+                for k in range(NS)]
+        for k in range(NS):
+            carry[k] = save[k]
+        piece = [
+            jnp.concatenate([adj[k], win[k]], axis=0)
+            if dn
+            else jnp.concatenate([win[k], adj[k]], axis=0)
+            for k in range(NS)
+        ]
+        obst_piece, obst_out, prow0 = win_slices(l)
+        acc = stencil_math.accel_planes(
+            piece, obst_piece < F32(0.75), accel_m(prow0, B + 2 * F), w1, w2
+        )
+        streamed = stream_win(acc)
+        rho, u_x, u_y = stencil_math.moments(streamed)
+        u_sq = u_x * u_x + u_y * u_y
+        out = stencil_math.collide(
+            streamed, obst_out > F32(0.25), om, rho, u_x, u_y, u_sq
+        )
+        win = refresh_clones(out)
+        # av-fluid excludes walls AND clone columns (encoding 0.5), unlike
+        # the accel-fluid mask (< 0.75) which lets clones take the injection.
+        partial = stencil_math.speed_sum(
+            u_sq, jnp.logical_not(obst_out > F32(0.25))
+        )
+
+        @pl.when(s == 0)
+        def _():
+            av_ref[l - 1, 0] = partial
+
+        @pl.when(s != 0)
+        def _():
+            av_ref[l - 1, 0] = av_ref[l - 1, 0] + partial
+
+        if l < K:
+
+            @pl.when(at_seam)
+            def _(sp=strip):
+                s_new = strip_step(sp)
+                for k in range(NS):
+                    seam_ref[k] = s_new[k]
+
+    for k in range(NS):
+        out_ref[k] = enq(win[k], k)
+
+
+def _block_obstacles(
+    obst_v: np.ndarray, B: int, K: int, F: int, direction: int, rot: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Obstacle layouts in ARRAY coords (``rot`` rotates the grid into the
+    sweep's coordinates — reverse sweeps see the rotated state).  Returns
+    (per-grid-step windows (nb, P, nx_v), seam strip (align8(2KF), nx_v))."""
+    rows_v, nx_v = obst_v.shape
+    nb = rows_v // B
+    KF = K * F
+    Wn = B + (K + 1) * F
+    P = _obst_rows(B, K, F)
+    ov = np.roll(obst_v, rot, axis=0)
+    ext = np.concatenate([ov, ov, ov], axis=0)
+    out = np.zeros((nb, P, nx_v), dtype=np.float32)
+    for s in range(nb):
+        b = s if direction > 0 else nb - 1 - s
+        o0 = b * B - (K + 1) * F if direction > 0 else b * B
+        out[s, 0:Wn] = ext[rows_v + o0 : rows_v + o0 + Wn]
+    s0 = rows_v - 2 * KF if direction > 0 else rows_v
+    sobst = np.zeros((_align8(2 * KF), nx_v), dtype=np.float32)
+    sobst[0 : 2 * KF] = ext[rows_v + s0 : rows_v + s0 + 2 * KF]
+    return out, sobst
+
+
+def _build_sweep_call(
+    params: LBMParams,
+    obst_v: np.ndarray,
+    K: int,
+    direction: int,
+    interpret: bool,
+    clone_nx: int | None,
+    storage: str,
+    F: int,
+    rows_v: int,
+    nx_v: int,
+    B: int,
+):
+    """One-direction pallas_call: ``call(f, strip, obst) -> (f', tot (K,1))``.
+    Forward (direction=+1) consumes canonical state, produces state rotated
+    down by K rows; reverse (direction=-1) consumes the rotated state and
+    produces canonical state."""
+    nb = rows_v // B
+    KF = K * F
+    rot = 0 if direction > 0 else KF
+    w1a, w2a = lattice.accel_weights(params.density, params.accel)
+    obst_np, sobst_np = _block_obstacles(obst_v, B, K, F, direction, rot)
+    obst_blocks = jnp.asarray(obst_np)
+    sobst = jnp.asarray(sobst_np)
+
+    if direction > 0:
+        idx = lambda i: (0, i, 0)
+    else:
+        idx = lambda i: (0, nb - 1 - i, 0)
+
+    kernel = functools.partial(
+        _skew_kernel,
+        block_rows=B,
+        K=K,
+        fold=F,
+        rows_v=rows_v,
+        direction=direction,
+        rot=rot,
+        omega=float(params.omega),
+        accel_row=params.accel_row,
+        w1a=float(w1a),
+        w2a=float(w2a),
+        clone_nx=clone_nx,
+        storage=storage,
+        density=float(params.density),
+    )
+    f_dtype = jnp.int16 if storage == "i16" else jnp.float32
+    f_bytes = 2 if storage == "i16" else 4
+    P = _obst_rows(B, K, F)
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(nb,),
+        in_specs=[
+            pl.BlockSpec((NS, B, nx_v), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # strip (NS, 2KF, nx_v)
+            pl.BlockSpec(
+                (1, P, nx_v), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # strip obstacles
+        ],
+        out_specs=(
+            pl.BlockSpec((NS, B, nx_v), idx, memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+        ),
+        scratch_shapes=(
+            [pltpu.VMEM((NS, 2 * F, nx_v), jnp.float32) for _ in range(K)]
+            + [pltpu.VMEM((NS, 2 * KF, nx_v), jnp.float32)]
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((NS, rows_v, nx_v), f_dtype),
+            jax.ShapeDtypeStruct((K, 1), jnp.float32),
+        ),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=K * 160 * rows_v * nx_v,
+            bytes_accessed=2 * NS * rows_v * nx_v * f_bytes
+            + rows_v * nx_v * 4,
+            transcendentals=K * rows_v * nx_v,
+        ),
+    )
+
+    def sweep(f, strip):
+        return call(f, strip, obst_blocks, sobst)
+
+    return sweep
+
+
+def make_pair(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    K: int,
+    interpret: bool | None = None,
+    clone_cols_nx: int | None = None,
+    folded_io: bool = False,
+    storage: str = "f32",
+    block_rows: int | None = None,
+):
+    """Build ``f -> (f_after_2K_steps, tot_u (2K,))`` for a periodic grid.
+
+    One forward + one reverse skewed sweep; the intermediate state is the
+    K-step state rotated down K rows (never materialized canonically).
+    With ``folded_io`` the state arrives and stays in the folded
+    (9, ny*F, 1024) view.  ``storage='i16'`` stores HBM state as int16
+    fixed-point; every intermediate level stays f32 (ops/quant.py), and the
+    rotated K-step state is quantized once — the pair quantizes twice per
+    2K steps."""
+    ny, nx = obstacles.shape
+    if not supports(params, K, clone_cols_nx):
+        raise ValueError(
+            f"skewed temporal pair (K={K}) cannot map a {ny}x{nx} grid"
+        )
+    if interpret is None:
+        interpret = jax.default_backend() == "cpu"
+    F, rows_v, nx_v, B = _plan(ny, nx, K, clone_cols_nx, storage, block_rows)
+    if folded_io and F == 1:
+        raise ValueError("folded_io requires a foldable width (nx = F*1024)")
+    if F > 1 and not folded_io:
+        raise ValueError(
+            "F>1 requires folded_io=True (pass the (9, ny*F, nx/F) view)"
+        )
+    KF = K * F
+
+    obst_f = (
+        fused_pallas.clone_col_encoding(obstacles, clone_cols_nx)
+        if clone_cols_nx is not None
+        else obstacles.astype(np.float32)
+    )
+    obst_v = obst_f.reshape(rows_v, nx_v)
+    fwd = _build_sweep_call(
+        params, obst_v, K, +1, interpret, clone_cols_nx, storage,
+        F, rows_v, nx_v, B,
+    )
+    rev = _build_sweep_call(
+        params, obst_v, K, -1, interpret, clone_cols_nx, storage,
+        F, rows_v, nx_v, B,
+    )
+
+    def pair(f):
+        # Forward strip: the 2K rows below the grid = wrap rows at the top
+        # of the array; array coords = true coords (rot 0).
+        a, tot1 = fwd(f, f[:, rows_v - 2 * KF :, :])
+        # Reverse strip: array rows [rows_v, rows_v + 2KF) = wrapped [0, 2KF).
+        g, tot2 = rev(a, a[:, : 2 * KF, :])
+        return g, jnp.concatenate([tot1[:, 0], tot2[:, 0]])
+
+    return pair
+
+
+def make_run_all(
+    params: LBMParams,
+    obstacles: np.ndarray,
+    num_steps: int,
+    K: int,
+    interpret: bool | None = None,
+    clone_cols_nx: int | None = None,
+    folded_io: bool = False,
+    storage: str = "f32",
+    block_rows: int | None = None,
+):
+    """Whole-run fast path: ``f0 -> (f_final, tot_us (num_steps,))`` as a
+    scan over forward/reverse sweep pairs (2K steps each) plus a single-step
+    remainder tail (bitwise equal to num_steps single steps on fields)."""
+    pair = make_pair(
+        params, obstacles, K, interpret,
+        clone_cols_nx=clone_cols_nx, folded_io=folded_io, storage=storage,
+        block_rows=block_rows,
+    )
+    n_pairs, rem = divmod(num_steps, 2 * K)
+    step_rem = None
+    if rem:
+        step_rem = fused_pallas.make_step(
+            params, obstacles, interpret,
+            clone_cols_nx=clone_cols_nx, folded_io=folded_io, storage=storage,
+        )
+
+    def run_all(f):
+        tot_parts = []
+        if n_pairs:
+            f, tots = lax.scan(lambda f, _: pair(f), f, None, length=n_pairs)
+            tot_parts.append(tots.reshape(-1))
+        for _ in range(rem):
+            f, tot = step_rem(f)
+            tot_parts.append(tot[None])
+        if not tot_parts:
+            return f, jnp.zeros((0,), dtype=jnp.float32)
+        return f, (
+            jnp.concatenate(tot_parts) if len(tot_parts) > 1 else tot_parts[0]
+        )
+
+    return run_all

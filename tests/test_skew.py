@@ -1,0 +1,133 @@
+"""Skewed temporal kernel (ops/skew_pallas.py) vs the jnp path.
+
+The forward/reverse pair must be exactly 2K single steps: on TPU bitwise on
+fields, in CPU interpret mode within the few-ulp atol the other kernel
+comparisons use (tests/test_pallas.py).  The multi-block carry chain is the
+heart of the schedule, so most cases force a small block height.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lbm_tpu.core import lattice
+from lbm_tpu.ops import fused_jnp, skew_pallas
+from lbm_tpu.params import LBMParams
+
+
+def _scene(ny, nx, seed):
+    params = LBMParams(
+        nx=nx, ny=ny, max_iters=16, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    r = np.random.default_rng(seed)
+    mask = r.random((ny, nx)) < 0.08
+    mask[0, :] = mask[-1, :] = True
+    return params, mask
+
+
+def _run_jnp(params, mask, steps):
+    obst = jnp.asarray(mask)
+    f = jnp.asarray(lattice.equilibrium_rest(params.density, params.ny, params.nx))
+    tots = []
+    for _ in range(steps):
+        f, tu = fused_jnp.fused_step_single(f, obst, params)
+        tots.append(float(tu))
+    return np.asarray(f), np.asarray(tots, np.float32)
+
+
+@pytest.mark.parametrize(
+    "K,B,ny", [(2, 8, 32), (3, 8, 32), (4, 8, 32), (4, 16, 64), (8, 8, 64)]
+)
+def test_pair_matches_jnp_multiblock(K, B, ny):
+    params, mask = _scene(ny, 128, seed=K + B)
+    steps = 2 * K
+    f_j, tot_j = _run_jnp(params, mask, steps)
+    run = skew_pallas.make_run_all(params, mask, steps, K, block_rows=B)
+    f0 = jnp.asarray(lattice.equilibrium_rest(params.density, ny, 128))
+    f_t, tots = run(f0)
+    np.testing.assert_allclose(np.asarray(f_t), f_j, atol=5e-7)
+    np.testing.assert_allclose(np.asarray(tots, np.float32), tot_j, rtol=1e-4)
+
+
+def test_single_block_grid():
+    # nb=1: every carry substitutes the seam strip on both sweeps.
+    params, mask = _scene(32, 128, seed=5)
+    f_j, tot_j = _run_jnp(params, mask, 8)
+    run = skew_pallas.make_run_all(params, mask, 8, K=4)
+    f0 = jnp.asarray(lattice.equilibrium_rest(params.density, 32, 128))
+    f_t, tots = run(f0)
+    np.testing.assert_allclose(np.asarray(f_t), f_j, atol=5e-7)
+    np.testing.assert_allclose(np.asarray(tots, np.float32), tot_j, rtol=1e-4)
+
+
+def test_multiple_pairs_and_remainder_tail():
+    # 21 steps at K=2: 5 pairs of 4 + a single-step tail of 1.
+    params, mask = _scene(32, 128, seed=7)
+    f_j, tot_j = _run_jnp(params, mask, 21)
+    run = skew_pallas.make_run_all(params, mask, 21, K=2, block_rows=8)
+    f0 = jnp.asarray(lattice.equilibrium_rest(params.density, 32, 128))
+    f_t, tots = run(f0)
+    assert tots.shape == (21,)
+    np.testing.assert_allclose(np.asarray(f_t), f_j, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(tots, np.float32), tot_j, rtol=1e-4)
+
+
+def test_accel_row_inside_wrap_regions():
+    # ny=16, K=4: the driven row (14) sits inside the forward seam strip
+    # (last 8 rows), the reverse strip's wrapped range, AND the rotated
+    # coordinates differ — exercises the three-offset accel masks.
+    params, mask = _scene(16, 128, seed=3)
+    f_j, tot_j = _run_jnp(params, mask, 8)
+    run = skew_pallas.make_run_all(params, mask, 8, K=4, block_rows=8)
+    f0 = jnp.asarray(lattice.equilibrium_rest(params.density, 16, 128))
+    f_t, tots = run(f0)
+    np.testing.assert_allclose(np.asarray(f_t), f_j, atol=5e-7)
+    np.testing.assert_allclose(np.asarray(tots, np.float32), tot_j, rtol=1e-4)
+
+
+def test_folded_wide_grid():
+    params, mask = _scene(16, 2048, seed=5)
+    f_j, _ = _run_jnp(params, mask, 8)
+    run = skew_pallas.make_run_all(
+        params, mask, 8, K=2, folded_io=True, block_rows=8
+    )
+    f0 = lattice.equilibrium_rest(params.density, 16, 2048)
+    f0 = jnp.asarray(np.asarray(f0, np.float32).reshape(9, 32, 1024))
+    f_t, _ = run(f0)
+    np.testing.assert_allclose(
+        np.asarray(f_t).reshape(9, 16, 2048), f_j, atol=5e-7
+    )
+
+
+def test_i16_storage_stays_inside_quant_tolerance():
+    from lbm_tpu.ops import quant
+
+    params, mask = _scene(32, 128, seed=9)
+    f_j, _ = _run_jnp(params, mask, 8)
+    run = skew_pallas.make_run_all(
+        params, mask, 8, K=2, storage="i16", block_rows=8
+    )
+    f0 = jnp.asarray(lattice.equilibrium_rest(params.density, 32, 128))
+    f_t, tots = run(quant.quantize(f0, params.density))
+    f_t = np.asarray(quant.dequantize(jnp.asarray(f_t), params.density))
+    np.testing.assert_allclose(f_t, f_j, atol=2e-5)
+    assert np.all(np.isfinite(np.asarray(tots)))
+
+
+def test_supports_guards():
+    params, _ = _scene(32, 128, seed=0)
+    assert skew_pallas.supports(params, 2)
+    assert skew_pallas.supports(params, 4)
+    assert not skew_pallas.supports(params, 1)  # K<2 is not temporal
+    bad_nx = params.replace(nx=100)
+    assert not skew_pallas.supports(bad_nx, 2)
+    tiny = params.replace(ny=4)  # ny < 2K: no seam strip fits
+    assert not skew_pallas.supports(tiny, 4)
+
+
+def test_folded_width_requires_folded_io():
+    params, mask = _scene(16, 2048, seed=5)
+    with pytest.raises(ValueError, match="folded_io=True"):
+        skew_pallas.make_pair(params, mask, K=2, folded_io=False)
