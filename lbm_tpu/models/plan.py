@@ -49,7 +49,21 @@ def _single_device_lines(out, params, config):
         if config.temporal_k is not None
         else temporal_pallas.pick_k(p_eff, config.storage)
     )
-    if K >= 2 and temporal_pallas.supports(p_eff, K, clone):
+    impl = (
+        modes.temporal_impl_choice(p_eff, K, clone, config.storage)
+        if K >= 2
+        else None
+    )
+    if impl == "skew":
+        from lbm_tpu.ops import skew_pallas
+
+        F, rows_v, nx_v, B = skew_pallas._plan(
+            p_eff.ny, p_eff.nx, K, clone, config.storage
+        )
+        out(f"kernel: skewed temporal pair — 2K={2 * K} steps per "
+            f"forward/reverse sweep pair, block {B} view rows, fold {F} "
+            f"(compute at {rows_v}x{nx_v}), zero recompute")
+    elif impl == "trapezoid":
         F, rows_v, nx_v, G, B = temporal_pallas._plan(
             p_eff.ny, p_eff.nx, K, clone, config.storage
         )

@@ -133,6 +133,39 @@ def _u_mag_fn(obstacles: jax.Array) -> Callable[[jax.Array], jax.Array]:
     return u_mag
 
 
+def temporal_impl_choice(
+    params: LBMParams,
+    K: int,
+    clone_cols_nx: int | None = None,
+    storage: str = "f32",
+) -> str | None:
+    """Which temporal-blocking kernel runs a K-deep sweep on this grid:
+    ``'skew'`` (ops/skew_pallas.py, zero-recompute forward/reverse pairs),
+    ``'trapezoid'`` (ops/temporal_pallas.py), or None when neither maps.
+
+    Shared by the driver dispatch and ``--plan`` so the printed plan cannot
+    drift from the executed one.  ``LBM_TEMPORAL_IMPL`` forces an impl
+    (``skew`` / ``trapezoid``); auto keeps the measured trapezoid default
+    and uses the skewed pair where the trapezoid cannot map at all (its
+    VMEM floor scales with nx*K; the pair's does not)."""
+    import os
+
+    from lbm_tpu.ops import skew_pallas, temporal_pallas
+
+    impl = os.environ.get("LBM_TEMPORAL_IMPL", "auto")
+    trap_ok = temporal_pallas.supports(params, K, clone_cols_nx)
+    skew_ok = skew_pallas.supports(params, K, clone_cols_nx)
+    if impl == "trapezoid":
+        return "trapezoid" if trap_ok else None
+    if impl == "skew":
+        return "skew" if skew_ok else None
+    if trap_ok:
+        return "trapezoid"
+    if skew_ok:
+        return "skew"
+    return None
+
+
 def _temporal_run_all(
     params: LBMParams,
     obstacles: np.ndarray,
@@ -141,19 +174,25 @@ def _temporal_run_all(
     folded_io: bool = False,
     temporal_k: int | None = None,
 ):
-    """make_run_all hook running K timesteps per HBM sweep
-    (ops/temporal_pallas.py), or None when the grid can't map it.
+    """make_run_all hook running K timesteps per HBM sweep (the skewed
+    pair kernel ops/skew_pallas.py or the trapezoid ops/temporal_pallas.py,
+    see :func:`temporal_impl_choice`), or None when the grid can't map it.
 
     ``temporal_k``: None picks the depth heuristically, 1 disables the
     temporal path, >=2 forces a depth."""
-    from lbm_tpu.ops import temporal_pallas
+    from lbm_tpu.ops import skew_pallas, temporal_pallas
 
     K = (
         temporal_k
         if temporal_k is not None
         else temporal_pallas.pick_k(params, storage)
     )
-    if K < 2 or not temporal_pallas.supports(params, K, clone_cols_nx):
+    impl = (
+        temporal_impl_choice(params, K, clone_cols_nx, storage)
+        if K >= 2
+        else None
+    )
+    if impl is None:
         if temporal_k is not None and temporal_k >= 2:
             import warnings
 
@@ -167,9 +206,10 @@ def _temporal_run_all(
         return None
 
     obst = np.asarray(obstacles)
+    mod = skew_pallas if impl == "skew" else temporal_pallas
 
     def make_run_all(num_steps):
-        return temporal_pallas.make_run_all(
+        return mod.make_run_all(
             params, obst, num_steps, K,
             clone_cols_nx=clone_cols_nx, folded_io=folded_io, storage=storage,
         )

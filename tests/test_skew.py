@@ -131,3 +131,62 @@ def test_folded_width_requires_folded_io():
     params, mask = _scene(16, 2048, seed=5)
     with pytest.raises(ValueError, match="folded_io=True"):
         skew_pallas.make_pair(params, mask, K=2, folded_io=False)
+
+
+def test_impl_choice_policy(monkeypatch):
+    from lbm_tpu.ops import temporal_pallas
+    from lbm_tpu.parallel import modes
+
+    params, _ = _scene(32, 128, seed=0)
+    # auto keeps the trapezoid where it maps, unless forced
+    assert modes.temporal_impl_choice(params, 2) == "trapezoid"
+    monkeypatch.setenv("LBM_TEMPORAL_IMPL", "skew")
+    assert modes.temporal_impl_choice(params, 2) == "skew"
+    monkeypatch.setenv("LBM_TEMPORAL_IMPL", "trapezoid")
+    assert modes.temporal_impl_choice(params, 2) == "trapezoid"
+    monkeypatch.delenv("LBM_TEMPORAL_IMPL")
+    # auto falls back to the skewed pair where the trapezoid cannot map:
+    # its VMEM floor scales with nx*K (minimum block = the K*F-row ghost
+    # group), which forbids f32 K=8 at 4096^2 — the pair has no such floor.
+    # Pure planning arithmetic, nothing is compiled.
+    wide = params.replace(nx=4096, ny=4096)
+    assert not temporal_pallas.supports(wide, 8)
+    assert skew_pallas.supports(wide, 8)
+    assert modes.temporal_impl_choice(wide, 8) == "skew"
+
+
+def test_driver_skew_path_matches_per_step(monkeypatch):
+    # End-to-end through run_simulation: grid too big for the resident
+    # kernel so make_run_all is the temporal hook; forced skew impl must
+    # match the per-step kernel path.
+    from lbm_tpu.io.scene import Scene
+    from lbm_tpu.models.driver import RunConfig, run_simulation
+
+    params, mask = _scene(256, 1024, seed=11)
+    params = params.replace(max_iters=8)
+    scene = Scene(params=params, obstacles=mask)
+    monkeypatch.setenv("LBM_TEMPORAL_IMPL", "skew")
+    res_s = run_simulation(scene, RunConfig(variant="pallas", temporal_k=2))
+    monkeypatch.delenv("LBM_TEMPORAL_IMPL")
+    res_1 = run_simulation(scene, RunConfig(variant="pallas", temporal_k=1))
+    np.testing.assert_allclose(res_s.f, res_1.f, atol=5e-7)
+    np.testing.assert_allclose(res_s.av_vels, res_1.av_vels, rtol=1e-4)
+
+
+def test_skew_segmented_execution_matches_whole(monkeypatch):
+    # Segment boundaries at pair multiples keep the identical op sequence.
+    from lbm_tpu.io.scene import Scene
+    from lbm_tpu.models.driver import RunConfig, run_simulation
+
+    params, mask = _scene(256, 1024, seed=17)
+    params = params.replace(max_iters=16)
+    scene = Scene(params=params, obstacles=mask)
+    monkeypatch.setenv("LBM_TEMPORAL_IMPL", "skew")
+    whole = run_simulation(
+        scene, RunConfig(variant="pallas", temporal_k=2, segment_steps=0)
+    )
+    seg = run_simulation(
+        scene, RunConfig(variant="pallas", temporal_k=2, segment_steps=8)
+    )
+    np.testing.assert_array_equal(seg.f, whole.f)
+    np.testing.assert_array_equal(seg.av_vels, whole.av_vels)
