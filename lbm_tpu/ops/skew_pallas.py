@@ -76,25 +76,40 @@ def _align8(n: int) -> int:
     return ((n + 7) // 8) * 8
 
 
-def _obst_rows(b: int, K: int, F: int) -> int:
-    """Aligned per-block obstacle rows (the level windows only; the seam
-    strip's obstacles ride a separate once-loaded input — they are read by
-    one block, so shipping them per block would waste ~2KF rows of DMA per
-    block)."""
-    return _align8(b + (K + 1) * F)
+def _obst_layout(b: int, K: int, F: int, direction: int) -> tuple[int, int, int]:
+    """(j0, a, Q) for the modular obstacle-window assembly.
+
+    The level windows of block b need rows [bB + d, bB + d + Wn) of the
+    UNROLLED obstacle grid (d = -(K+1)F forward, -KF reverse — the reverse
+    sweep's rotated coordinates fold into the offset).  Rather than
+    materializing an (nb, P, nx) per-block window constant (which scales
+    with nb and blew the remote compiler's request limit at 4096^2 K=8:
+    ~235 MB per direction), the window is assembled in-kernel from Q
+    modular B-row refs of the single (rows_v, nx_v) layout: ref q covers
+    block (b + j0 + q) mod nb, and the window is the [a : a + Wn) row
+    slice of their concatenation."""
+    d = -(K + 1) * F if direction > 0 else -K * F
+    wn = b + (K + 1) * F
+    j0 = d // b  # floor division (d < 0)
+    a = d - j0 * b
+    q = -(-(a + wn) // b)
+    return j0, a, q
 
 
 def _footprint(b: int, nx: int, K: int, F: int, f_bytes: int) -> int:
     """Estimated scoped-VMEM bytes at block height ``b`` (calibrated like
     temporal_pallas._footprint: pipeline double buffers + live f32 chain)."""
     KF = K * F
+    obst_rows = max(
+        _obst_layout(b, K, F, +1)[2], _obst_layout(b, K, F, -1)[2]
+    ) * b
     return (
         # pipeline: 2x body in, 2x body out, strip input
         f_bytes * NS * nx * (4 * b + 2 * KF)
         # live f32 chain: ~4 buffers of piece size (win, piece, streamed, out)
         + 4 * NS * (b + 2 * F) * nx * 4
-        # obstacle window double buffer + strip obstacles (once-loaded)
-        + 2 * _obst_rows(b, K, F) * nx * 4
+        # obstacle window refs (double-buffered) + strip obstacles
+        + 2 * obst_rows * nx * 4
         + _align8(2 * KF) * nx * 4
         # carries + seam strip scratch
         + NS * K * 2 * F * nx * 4
@@ -184,11 +199,9 @@ def _accel_mask(row0, R: int, rot: int, rows_v: int, accel_row: int, F: int):
 def _skew_kernel(
     f_ref,  # (NS, B, nx_v) VMEM: level-0 body rows of block b (pipelined)
     strip_ref,  # (NS, 2KF, nx_v) VMEM: level-0 seam strip (wrap-side rows)
-    obst_ref,  # (1, P, nx_v) VMEM: per-block level windows [B+(K+1)F | pad]
-    sobst_ref,  # (SA, nx_v) VMEM: seam strip obstacles (once-loaded)
-    out_ref,  # (NS, B, nx_v) VMEM: level-K rows [bB - dir*KF, ...)
-    av_ref,  # (K, 1) f32 SMEM: per-level |u| accumulators
-    *scratch,  # K carry refs (NS, 2F, nx_v) f32 + seam strip (NS, 2KF, nx_v)
+    *rest,  # Q obstacle refs (B, nx_v), sobst (SA, nx_v), out, av, scratch
+    n_obst: int,  # Q: modular B-row obstacle refs (see _obst_layout)
+    obst_off: int,  # a: window start inside the concatenated obstacle rows
     block_rows: int,
     K: int,
     fold: int,
@@ -203,6 +216,11 @@ def _skew_kernel(
     storage: str = "f32",
     density: float = 0.0,
 ):
+    obst_refs = rest[:n_obst]
+    sobst_ref = rest[n_obst]  # seam strip obstacles (once-loaded)
+    out_ref = rest[n_obst + 1]  # (NS, B, nx_v): level-K rows [bB - dir*KF, …)
+    av_ref = rest[n_obst + 2]  # (K, 1) f32 SMEM: per-level |u| accumulators
+    scratch = rest[n_obst + 3 :]  # K carries (NS, 2F, nx_v) + seam strip
     s = pl.program_id(0)
     nb = pl.num_programs(0)
     B = block_rows
@@ -250,8 +268,11 @@ def _skew_kernel(
         return streamed
 
     # --- obstacle window slices -------------------------------------------
+    # Window rows [bB + d, bB + d + Wn) assembled from the Q modular B-row
+    # refs (concat = canonical layout, then a static row slice).
     Wn = B + (K + 1) * F
-    obst_win = obst_ref[0, 0:Wn, :]
+    owin = jnp.concatenate([r[:] for r in obst_refs], axis=0)
+    obst_win = owin[obst_off : obst_off + Wn]
     obst_strip = sobst_ref[0 : 2 * KF, :]
 
     def win_slices(l: int):
@@ -375,28 +396,21 @@ def _skew_kernel(
         out_ref[k] = enq(win[k], k)
 
 
-def _block_obstacles(
-    obst_v: np.ndarray, B: int, K: int, F: int, direction: int, rot: int
-) -> tuple[np.ndarray, np.ndarray]:
-    """Obstacle layouts in ARRAY coords (``rot`` rotates the grid into the
-    sweep's coordinates — reverse sweeps see the rotated state).  Returns
-    (per-grid-step windows (nb, P, nx_v), seam strip (align8(2KF), nx_v))."""
+def _strip_obstacles(
+    obst_v: np.ndarray, K: int, F: int, direction: int, rot: int
+) -> np.ndarray:
+    """Seam-strip obstacle rows in ARRAY coords (``rot`` rotates the grid
+    into the sweep's coordinates — reverse sweeps see the rotated state),
+    shape (align8(2KF), nx_v).  The strip is read by one block, so it rides
+    a separate once-loaded input."""
     rows_v, nx_v = obst_v.shape
-    nb = rows_v // B
     KF = K * F
-    Wn = B + (K + 1) * F
-    P = _obst_rows(B, K, F)
     ov = np.roll(obst_v, rot, axis=0)
     ext = np.concatenate([ov, ov, ov], axis=0)
-    out = np.zeros((nb, P, nx_v), dtype=np.float32)
-    for s in range(nb):
-        b = s if direction > 0 else nb - 1 - s
-        o0 = b * B - (K + 1) * F if direction > 0 else b * B
-        out[s, 0:Wn] = ext[rows_v + o0 : rows_v + o0 + Wn]
     s0 = rows_v - 2 * KF if direction > 0 else rows_v
     sobst = np.zeros((_align8(2 * KF), nx_v), dtype=np.float32)
     sobst[0 : 2 * KF] = ext[rows_v + s0 : rows_v + s0 + 2 * KF]
-    return out, sobst
+    return sobst
 
 
 def _build_sweep_call(
@@ -420,17 +434,27 @@ def _build_sweep_call(
     KF = K * F
     rot = 0 if direction > 0 else KF
     w1a, w2a = lattice.accel_weights(params.density, params.accel)
-    obst_np, sobst_np = _block_obstacles(obst_v, B, K, F, direction, rot)
-    obst_blocks = jnp.asarray(obst_np)
-    sobst = jnp.asarray(sobst_np)
+    sobst = jnp.asarray(_strip_obstacles(obst_v, K, F, direction, rot))
+    # One (rows_v, nx_v) obstacle layout shared by both directions (the
+    # SAME jnp array object, so jit traces ONE constant); the window offset
+    # absorbs the reverse sweep's rotation.
+    j0, a, Q = _obst_layout(B, K, F, direction)
 
     if direction > 0:
         idx = lambda i: (0, i, 0)
+        blk = lambda i: i
     else:
         idx = lambda i: (0, nb - 1 - i, 0)
+        blk = lambda i: nb - 1 - i
+
+    def obst_idx(q):
+        off = (j0 + q) % nb  # static, non-negative residue
+        return lambda i: ((blk(i) + off) % nb, 0)
 
     kernel = functools.partial(
         _skew_kernel,
+        n_obst=Q,
+        obst_off=a,
         block_rows=B,
         K=K,
         fold=F,
@@ -447,7 +471,6 @@ def _build_sweep_call(
     )
     f_dtype = jnp.int16 if storage == "i16" else jnp.float32
     f_bytes = 2 if storage == "i16" else 4
-    P = _obst_rows(B, K, F)
 
     call = pl.pallas_call(
         kernel,
@@ -455,9 +478,12 @@ def _build_sweep_call(
         in_specs=[
             pl.BlockSpec((NS, B, nx_v), idx, memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # strip (NS, 2KF, nx_v)
-            pl.BlockSpec(
-                (1, P, nx_v), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
-            ),
+        ]
+        + [
+            pl.BlockSpec((B, nx_v), obst_idx(q), memory_space=pltpu.VMEM)
+            for q in range(Q)
+        ]
+        + [
             pl.BlockSpec(memory_space=pltpu.VMEM),  # strip obstacles
         ],
         out_specs=(
@@ -481,8 +507,8 @@ def _build_sweep_call(
         ),
     )
 
-    def sweep(f, strip):
-        return call(f, strip, obst_blocks, sobst)
+    def sweep(f, strip, obst_j):
+        return call(f, strip, *([obst_j] * Q), sobst)
 
     return sweep
 
@@ -528,6 +554,9 @@ def make_pair(
         else obstacles.astype(np.float32)
     )
     obst_v = obst_f.reshape(rows_v, nx_v)
+    # ONE obstacle constant for both sweep directions (same jnp object →
+    # one traced constant; the window offsets absorb the rotation).
+    obst_j = jnp.asarray(obst_v)
     fwd = _build_sweep_call(
         params, obst_v, K, +1, interpret, clone_cols_nx, storage,
         F, rows_v, nx_v, B,
@@ -540,9 +569,9 @@ def make_pair(
     def pair(f):
         # Forward strip: the 2K rows below the grid = wrap rows at the top
         # of the array; array coords = true coords (rot 0).
-        a, tot1 = fwd(f, f[:, rows_v - 2 * KF :, :])
+        a, tot1 = fwd(f, f[:, rows_v - 2 * KF :, :], obst_j)
         # Reverse strip: array rows [rows_v, rows_v + 2KF) = wrapped [0, 2KF).
-        g, tot2 = rev(a, a[:, : 2 * KF, :])
+        g, tot2 = rev(a, a[:, : 2 * KF, :], obst_j)
         return g, jnp.concatenate([tot1[:, 0], tot2[:, 0]])
 
     return pair

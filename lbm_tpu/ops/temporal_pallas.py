@@ -605,8 +605,11 @@ def pick_k(params: LBMParams, storage: str = "f32") -> int:
       single-step kernel wins (17.3k vs 15.8k): per-level sweep overhead
       exceeds the DMA saved.
     - Smaller cached f32 grids are per-step-overhead-bound, and K=2 wins
-      again (512^2: 12.7k vs 10.4k; 768^2: 14.9k vs 13.8k); i16 at these
-      sizes is compute-bound and stays on the single-step kernel.
+      again (512^2: 12.7k vs 10.4k; 768^2: 14.9k vs 13.8k).
+    - i16 has its own measured K-table (round 3, same-session controls):
+      1024^2 K=4 16.4k vs K=2 13.0k vs K=1 11.0k; 768^2 K=2 13.1k vs K=1
+      10.5k; 1536^2 K=2 15.5k vs the deep-sweep 12.5k; 2048^2 keeps K=8
+      (19.2k); 512^2 stays single-step.
 
     Override with LBM_TEMPORAL_K (1 disables)."""
     import os
@@ -616,9 +619,18 @@ def pick_k(params: LBMParams, storage: str = "f32") -> int:
         return int(env)
     f_bytes = 2 if storage == "i16" else 4
     working_set = 2 * NS * params.ny * params.nx * f_bytes
-    if working_set > 80 * 1024 * 1024:
+    mib = 1024 * 1024
+    if storage == "i16":
+        if working_set > 128 * mib:
+            return 8 if fused_pallas._fold_factor(params.nx) <= 2 else 4
+        if working_set > 80 * mib:
+            return 2
+        if working_set > 24 * mib:
+            return 4
+        return 2 if working_set > 12 * mib else 1
+    if working_set > 80 * mib:
         return 8 if fused_pallas._fold_factor(params.nx) <= 2 else 4
-    if storage == "f32" and working_set <= 64 * 1024 * 1024:
+    if working_set <= 64 * mib:
         return 2
     return 1
 

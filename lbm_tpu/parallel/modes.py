@@ -421,9 +421,9 @@ def _i16_single_program(
         warnings.warn(
             f"storage 'i16' runs the per-step block kernel, but this "
             f"{params.ny}x{params.nx} grid fits the VMEM-resident f32 "
-            "kernel, which is typically faster (i16 pays off on "
-            "HBM-bandwidth-bound grids, ~2048^2 and up); consider dropping "
-            "--storage i16",
+            "kernel, which is typically faster (i16 pays off from ~1024^2 "
+            "up, where its temporal K=4 sweep beats f32 — measured 16.4k "
+            "vs 12.1k same-session); consider dropping --storage i16",
             stacklevel=4,
         )
 

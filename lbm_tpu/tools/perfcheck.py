@@ -21,6 +21,7 @@ CHECKS = [
     ("512x512", "f32", 4000, 6000, "temporal sweep K=2 (cached)"),
     ("2048x2048", "f32", 2000, 6000, "temporal sweep K=8 (DRAM)"),
     ("2048x2048", "i16", 2000, 9000, "int16 storage path"),
+    ("1024x1024", "i16", 4000, 8000, "int16 temporal K=4 (flagship grid)"),
 ]
 
 
