@@ -161,18 +161,24 @@ def _plan(
     return fold, rows_v, nx_v, best
 
 
-def supports(params: LBMParams, K: int, clone_nx: int | None = None) -> bool:
+def supports(
+    params: LBMParams,
+    K: int,
+    clone_nx: int | None = None,
+    storage: str = "f32",
+) -> bool:
     """True when the skewed K-step pair can map this grid.
 
     Needs the 2K-row seam strip to fit the grid (ny >= 2K); the accel row
     may sit anywhere — the window row arithmetic is exact modulo the grid,
-    unlike the trapezoid kernel's accel_row >= K restriction."""
+    unlike the trapezoid kernel's accel_row >= K restriction.  ``storage``
+    matters: i16 halves the pipeline buffers, so deeper K can map."""
     if K < 2 or params.nx % LANE != 0:
         return False
     if params.ny < 2 * K:
         return False
     try:
-        _plan(params.ny, params.nx, K, clone_nx)
+        _plan(params.ny, params.nx, K, clone_nx, storage)
     except ValueError:
         return False
     return True

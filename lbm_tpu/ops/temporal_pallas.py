@@ -138,7 +138,12 @@ def _plan(
     return fold, rows_v, nx_v, G, best
 
 
-def supports(params: LBMParams, K: int, clone_nx: int | None = None) -> bool:
+def supports(
+    params: LBMParams,
+    K: int,
+    clone_nx: int | None = None,
+    storage: str = "f32",
+) -> bool:
     """True when the K-step sweep can map this grid.
 
     Beyond the block-kernel constraints, the driven row must not sit in the
@@ -150,7 +155,7 @@ def supports(params: LBMParams, K: int, clone_nx: int | None = None) -> bool:
     if params.accel_row < K or params.ny < 2 * K:
         return False
     try:
-        _plan(params.ny, params.nx, K, clone_nx)
+        _plan(params.ny, params.nx, K, clone_nx, storage)
     except ValueError:
         return False
     return True

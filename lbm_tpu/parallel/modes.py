@@ -153,8 +153,8 @@ def temporal_impl_choice(
     from lbm_tpu.ops import skew_pallas, temporal_pallas
 
     impl = os.environ.get("LBM_TEMPORAL_IMPL", "auto")
-    trap_ok = temporal_pallas.supports(params, K, clone_cols_nx)
-    skew_ok = skew_pallas.supports(params, K, clone_cols_nx)
+    trap_ok = temporal_pallas.supports(params, K, clone_cols_nx, storage)
+    skew_ok = skew_pallas.supports(params, K, clone_cols_nx, storage)
     if impl == "trapezoid":
         return "trapezoid" if trap_ok else None
     if impl == "skew":
