@@ -606,11 +606,16 @@ def pick_k(params: LBMParams, storage: str = "f32") -> int:
       f32: 14.5k vs 4.1k MLUPS at K=8; 4096^2 i16: 16.4k vs 8.4k at K=4).
       Deep folds cap the depth at 4: K=8 at fold 4 needs a 32-row ghost
       group that leaves no useful block size.
-    - Right at the cache/DMA balance point (1024^2 f32, ~75 MB) the
-      single-step kernel wins (17.3k vs 15.8k): per-level sweep overhead
-      exceeds the DMA saved.
-    - Smaller cached f32 grids are per-step-overhead-bound, and K=2 wins
-      again (512^2: 12.7k vs 10.4k; 768^2: 14.9k vs 13.8k).
+    - With the skewed pair (the auto impl since round 3 —
+      modes.temporal_impl_choice), K=4 wins from 512^2 through 4096^2 f32
+      (512^2 13.7k, 768^2 15.2k, 1024^2 15.3k vs 11.7-12.1k single-step
+      same-session, 4096^2 19.3k vs 15.1k at K=8 whose B=16 blocks go
+      compute-bound); 2048^2 K=8 ties K=4 (16.4k/16.2k) so fold<=2 keeps
+      K=8.  The 1024^2 balance point that forbade the trapezoid
+      (single-step won there) flips ON with the pair.
+    - Where only the trapezoid maps, the old table still holds: the
+      1024^2-class balance point stays single-step and cached grids keep
+      K=2 (512^2: 12.7k vs 10.4k; 768^2: 14.9k vs 13.8k).
     - i16 has its own measured K-table (round 3, same-session controls):
       1024^2 K=4 16.4k vs K=2 13.0k vs K=1 11.0k; 768^2 K=2 13.1k vs K=1
       10.5k; 1536^2 K=2 15.5k vs the deep-sweep 12.5k; 2048^2 keeps K=8
@@ -635,6 +640,14 @@ def pick_k(params: LBMParams, storage: str = "f32") -> int:
         return 2 if working_set > 12 * mib else 1
     if working_set > 80 * mib:
         return 8 if fused_pallas._fold_factor(params.nx) <= 2 else 4
+
+    def _skew_maps(k: int) -> bool:
+        from lbm_tpu.ops import skew_pallas  # local: avoid import cycle
+
+        return skew_pallas.supports(params, k, storage=storage)
+
+    if _skew_maps(4):
+        return 4
     if working_set <= 64 * mib:
         return 2
     return 1

@@ -145,9 +145,11 @@ def temporal_impl_choice(
 
     Shared by the driver dispatch and ``--plan`` so the printed plan cannot
     drift from the executed one.  ``LBM_TEMPORAL_IMPL`` forces an impl
-    (``skew`` / ``trapezoid``); auto keeps the measured trapezoid default
-    and uses the skewed pair where the trapezoid cannot map at all (its
-    VMEM floor scales with nx*K; the pair's does not)."""
+    (``skew`` / ``trapezoid``); auto prefers the skewed pair — it won or
+    tied the trapezoid at every measured grid (same-session raw sweeps,
+    BENCHMARKS.md round 3: 4096^2 f32 K=4 19.3k vs 12.3k; 2048^2 K=4
+    16.2k vs 13.4k; 512^2 K=4 13.7k vs the 12.7k trapezoid best) — with
+    the trapezoid as fallback where the pair cannot map."""
     import os
 
     from lbm_tpu.ops import skew_pallas, temporal_pallas
@@ -159,10 +161,10 @@ def temporal_impl_choice(
         return "trapezoid" if trap_ok else None
     if impl == "skew":
         return "skew" if skew_ok else None
-    if trap_ok:
-        return "trapezoid"
     if skew_ok:
         return "skew"
+    if trap_ok:
+        return "trapezoid"
     return None
 
 

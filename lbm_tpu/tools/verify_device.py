@@ -8,8 +8,9 @@ device* and writes ``VERIFY_TPU.json`` so every round records kernel-path
 correctness evidence alongside its ``BENCH_r*.json``:
 
 1. temporal K-sweep == jnp step, bitwise on fields (the DRAM-path claim);
-2. VMEM-resident kernel == jnp step, bitwise (the small-grid claim);
-3. a 120-step golden-prefix run against the reference's av_vels series
+2. skewed temporal pair == jnp step, bitwise (the flagship/DRAM default);
+3. VMEM-resident kernel == jnp step, bitwise (the small-grid claim);
+4. a 120-step golden-prefix run against the reference's av_vels series
    (the <1% contract of /root/reference/check/check.py:136-151).
 
 On CPU (no TPU attached) the bitwise claims relax to interpret-ulp
@@ -73,6 +74,38 @@ def _temporal_vs_jnp(steps: int = 16, K: int = 8, n: int = 2048) -> float:
     ).max())
 
 
+def _skew_vs_jnp(K: int = 4, n: int = 1024) -> float:
+    """One forward/reverse skewed pair (2K steps) vs 2K jnp steps."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from lbm_tpu.core import lattice
+    from lbm_tpu.ops import fused_jnp, skew_pallas
+    from lbm_tpu.params import LBMParams
+
+    params = LBMParams(nx=n, ny=n, max_iters=2 * K, reynolds_dim=10,
+                       density=0.1, accel=0.01, omega=1.85)
+    mask = np.zeros((n, n), bool)
+    mask[0, :] = mask[-1, :] = True
+    mask[:, 0] = mask[:, -1] = True
+    obst = jnp.asarray(mask)
+    f0 = jnp.asarray(lattice.equilibrium_rest(params.density, n, n))
+
+    @jax.jit
+    def ref(f):
+        return lax.scan(
+            lambda f, _: fused_jnp.fused_step_single(f, obst, params),
+            f, None, length=2 * K,
+        )
+
+    f_ref, _ = ref(f0)
+    pair = jax.jit(skew_pallas.make_pair(params, mask, K))
+    f_s, _ = pair(f0)
+    return float(np.abs(np.asarray(f_s) - np.asarray(f_ref)).max())
+
+
 def _resident_vs_jnp(steps: int = 64, n: int = 128) -> float:
     import numpy as np
     import jax
@@ -134,6 +167,10 @@ def run_verify() -> dict:
     report["temporal_vs_jnp_maxdiff"] = d_t
     report["temporal_bitwise"] = d_t <= atol
 
+    d_s = _skew_vs_jnp()
+    report["skew_vs_jnp_maxdiff"] = d_s
+    report["skew_bitwise"] = d_s <= atol
+
     d_r = _resident_vs_jnp()
     report["resident_vs_jnp_maxdiff"] = d_r
     report["resident_bitwise"] = d_r <= atol
@@ -144,6 +181,7 @@ def run_verify() -> dict:
 
     report["ok"] = bool(
         report["temporal_bitwise"]
+        and report["skew_bitwise"]
         and report["resident_bitwise"]
         and report["golden_prefix_ok"]
     )

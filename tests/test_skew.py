@@ -138,21 +138,25 @@ def test_impl_choice_policy(monkeypatch):
     from lbm_tpu.parallel import modes
 
     params, _ = _scene(32, 128, seed=0)
-    # auto keeps the trapezoid where it maps, unless forced
-    assert modes.temporal_impl_choice(params, 2) == "trapezoid"
+    # auto prefers the skewed pair (it won or tied the trapezoid at every
+    # measured grid, BENCHMARKS.md round 3), unless forced
+    assert modes.temporal_impl_choice(params, 2) == "skew"
     monkeypatch.setenv("LBM_TEMPORAL_IMPL", "skew")
     assert modes.temporal_impl_choice(params, 2) == "skew"
     monkeypatch.setenv("LBM_TEMPORAL_IMPL", "trapezoid")
     assert modes.temporal_impl_choice(params, 2) == "trapezoid"
     monkeypatch.delenv("LBM_TEMPORAL_IMPL")
-    # auto falls back to the skewed pair where the trapezoid cannot map:
-    # its VMEM floor scales with nx*K (minimum block = the K*F-row ghost
-    # group), which forbids f32 K=8 at 4096^2 — the pair has no such floor.
-    # Pure planning arithmetic, nothing is compiled.
+    # the pair also maps where the trapezoid cannot: its VMEM floor scales
+    # with nx*K (minimum block = the K*F-row ghost group), which forbids
+    # f32 K=8 at 4096^2.  Pure planning arithmetic, nothing is compiled.
     wide = params.replace(nx=4096, ny=4096)
     assert not temporal_pallas.supports(wide, 8)
     assert skew_pallas.supports(wide, 8)
     assert modes.temporal_impl_choice(wide, 8) == "skew"
+    # a trapezoid-only config falls back: K=16 i16 at 4096^2 maps the pair
+    # only under i16's halved buffers; under f32 neither maps.
+    assert modes.temporal_impl_choice(wide, 16, storage="i16") == "skew"
+    assert modes.temporal_impl_choice(wide, 16, storage="f32") is None
 
 
 def test_driver_skew_path_matches_per_step(monkeypatch):
