@@ -13,13 +13,16 @@ from __future__ import annotations
 import sys
 
 # (grid, storage, steps) -> floor MLUPS.  One row per kernel path:
-# VMEM-resident, single-step block, temporal K=2 (cached), temporal K=8
-# (DRAM), i16 storage.
+# VMEM-resident, skewed temporal pair (cached / flagship / DRAM depths),
+# i16 storage.  Since round 3 the auto temporal impl is the skewed pair
+# (parallel/modes.temporal_impl_choice), so the f32 block-kernel rows below
+# exercise skew at pick_k's depth for that grid.
 CHECKS = [
     ("128x128", "f32", 20000, 5500, "VMEM-resident kernel"),
-    ("1024x1024", "f32", 4000, 7500, "single-step block kernel"),
-    ("512x512", "f32", 4000, 6000, "temporal sweep K=2 (cached)"),
-    ("2048x2048", "f32", 2000, 6000, "temporal sweep K=8 (DRAM)"),
+    ("1024x1024", "f32", 4000, 7500, "skewed temporal pair K=4 (flagship)"),
+    ("512x512", "f32", 4000, 6000, "skewed temporal pair K=4 (cached)"),
+    ("2048x2048", "f32", 2000, 7500, "skewed temporal pair K=8 (DRAM)"),
+    ("4096x4096", "f32", 2000, 9000, "skewed temporal pair K=4 (DRAM, deep fold)"),
     ("2048x2048", "i16", 2000, 9000, "int16 storage path"),
     ("1024x1024", "i16", 4000, 8000, "int16 temporal K=4 (flagship grid)"),
 ]
