@@ -9,7 +9,9 @@ materializing results (np.asarray) because jax.block_until_ready returns
 early under the axon tunnel (BENCHMARKS.md timing rules).
 
 Usage: python scripts/exp_skewtune.py [n ...]   (default 1024)
-Env:   LBM_TUNE_STEPS (default 2000), LBM_TUNE_REPS (default 3)
+Env:   LBM_TUNE_STEPS (default 2000), LBM_TUNE_REPS (default 3),
+       LBM_TUNE_KS (comma list, default "4,8"),
+       LBM_TUNE_BS (comma list, default "16,32,64,128,256")
 """
 
 from __future__ import annotations
@@ -52,9 +54,12 @@ def main() -> int:
         if folded:
             f0 = f0.reshape(9, rows_v, n // F)
 
-        cands = [b for b in (16, 32, 64, 128, 256)
-                 if rows_v % b == 0 and b >= 2 * F]
-        for K in (4, 8):
+        bs = [int(b) for b in
+              os.environ.get("LBM_TUNE_BS", "16,32,64,128,256").split(",")]
+        ks = [int(k) for k in
+              os.environ.get("LBM_TUNE_KS", "4,8").split(",")]
+        cands = [b for b in bs if rows_v % b == 0 and b >= 2 * F]
+        for K in ks:
             if steps % (2 * K):
                 continue
             auto_b = None
