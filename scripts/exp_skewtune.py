@@ -70,10 +70,16 @@ def main() -> int:
             for B in cands:
                 tag = f"{n}^2 K={K} B={B}" + (" (auto)" if B == auto_b else "")
                 try:
-                    run = jax.jit(skew_pallas.make_run_all(
+                    # Hoist the obstacle constants out of the module like the
+                    # driver does — plain jit embeds them, and at 8192^2 the
+                    # 256 MB payload exceeds the remote-compile size limit
+                    # (HTTP 413).
+                    from lbm_tpu.models.driver import _HoistedJit
+
+                    run = _HoistedJit(skew_pallas.make_run_all(
                         params, mask, steps, K,
                         folded_io=folded, block_rows=B,
-                    ))
+                    ), donate=False)
                     t0 = time.perf_counter()
                     f, tot = run(f0)
                     float(np.asarray(tot)[-1])  # materialize = sync
