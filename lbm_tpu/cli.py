@@ -348,7 +348,8 @@ def cmd_speedup(args: argparse.Namespace) -> int:
     return speedup_main(args.reports + ["--output", args.output])
 
 
-def cmd_info(_args: argparse.Namespace) -> int:
+def cmd_info(args: argparse.Namespace) -> int:
+    _apply_platform(args.platform, args.host_devices)
     import jax
 
     print(f"jax {jax.__version__}, backend={jax.default_backend()}")
@@ -357,6 +358,62 @@ def cmd_info(_args: argparse.Namespace) -> int:
     from lbm_tpu.io import native
 
     print(f"native io: {'available' if native.available() else 'not built (make native)'}")
+    if getattr(args, "probe", False):
+        import time
+
+        import numpy as np
+        import jax.numpy as jnp
+
+        from lbm_tpu.core import lattice
+        from lbm_tpu.models.driver import _HoistedJit
+        from lbm_tpu.ops import resident_pallas
+        from lbm_tpu.params import LBMParams
+
+        # Two cached micro-programs separate dispatch round-trip latency
+        # from device throughput: remote-device tunnels (axon) have
+        # hours-long degraded periods where execution crawls — benchmark
+        # numbers taken then are meaningless.  Healthy v5e via the tunnel:
+        # ~25-30 ms RTT, >=10k MLUPS device rate.
+        n = 128
+        # CPU backend runs the kernel in interpret mode — keep it short.
+        probe_steps = 20000 if jax.default_backend() != "cpu" else 200
+        p = LBMParams(nx=n, ny=n, max_iters=probe_steps, reynolds_dim=10,
+                      density=0.1, accel=0.005, omega=1.85)
+        mask = np.zeros((n, n), dtype=bool)
+        mask[0, :] = mask[-1, :] = True
+        mask[:, 0] = mask[:, -1] = True
+        f0 = jnp.asarray(lattice.equilibrium_rest(p.density, n, n))
+        t0 = time.perf_counter()
+        short = _HoistedJit(resident_pallas.make_run_all(p, mask, 100), False)
+        _, tot = short(f0)
+        float(np.asarray(tot)[-1])
+        compile_s = time.perf_counter() - t0
+        rtt = 1e9
+        for _ in range(3):
+            t0 = time.perf_counter()
+            _, tot = short(f0)
+            float(np.asarray(tot)[-1])
+            rtt = min(rtt, time.perf_counter() - t0)
+        long = _HoistedJit(
+            resident_pallas.make_run_all(p, mask, probe_steps), False
+        )
+        _, tot = long(f0)
+        float(np.asarray(tot)[-1])
+        best = 1e9
+        for _ in range(2):
+            t0 = time.perf_counter()
+            _, tot = long(f0)
+            float(np.asarray(tot)[-1])
+            best = min(best, time.perf_counter() - t0)
+        mlups = n * n * probe_steps / max(best - rtt, 1e-9) / 1e6
+        print(f"probe: dispatch RTT ~{rtt*1e3:.1f} ms, first-compile "
+              f"{compile_s:.1f} s, device rate ~{mlups:.0f} MLUPS "
+              f"(128x128 resident kernel)")
+        if jax.default_backend() != "cpu" and (mlups < 5000 or rtt > 0.2):
+            print("probe: WARNING — device rate or dispatch latency is far "
+                  "off the healthy band (>=10k MLUPS, ~25-30 ms RTT); the "
+                  "device/tunnel may be degraded or time-shared right now. "
+                  "Do not trust benchmark numbers from this session.")
     return 0
 
 
@@ -442,7 +499,14 @@ def main(argv: list[str] | None = None) -> int:
     sub.add_parser(
         "scene", help="generate a scene (cavity/channel/cylinder)", add_help=False
     )
-    sub.add_parser("info", help="print device/runtime info")
+    p_info = sub.add_parser("info", help="print device/runtime info")
+    p_info.add_argument(
+        "--probe", action="store_true",
+        help="measure dispatch round-trip latency and device compute rate "
+        "with a cached micro-run (detects degraded remote-device tunnels)",
+    )
+    p_info.add_argument("--platform", default=None)
+    p_info.add_argument("--host-devices", type=int, default=None)
 
     # `check` and `scene` forward unparsed args to their own parsers.
     if argv and argv[0] == "check":

@@ -61,6 +61,19 @@ def equilibrium_rest(density: float, ny: int, nx: int, dtype=np.float32) -> np.n
     return f
 
 
+def equilibrium_rest_device(density: float, ny: int, nx: int):
+    """Device-side :func:`equilibrium_rest`: broadcast the 9 per-speed
+    weights on device instead of uploading a host-built ``(9, ny, nx)``
+    array (a 2.4 GB transfer at 8192² — minutes over a remote-device
+    tunnel).  Bitwise-identical values.  Single-device init paths only;
+    sharded programs keep host arrays so ``device_put`` can scatter them
+    without materializing the full grid on one device."""
+    import jax.numpy as jnp
+
+    w = equilibrium_rest(density, 1, 1)
+    return jnp.broadcast_to(jnp.asarray(w), (NSPEEDS, ny, nx))
+
+
 def accel_weights(density: float, accel: float, dtype=np.float32):
     """The two per-step injection weights of the driven row.
 

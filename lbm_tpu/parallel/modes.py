@@ -251,7 +251,8 @@ def build_single_program(
         if prog is not None:
             return prog
     if f0 is None:
-        f0 = lattice.equilibrium_rest(params.density, params.ny, params.nx)
+        # Device-side broadcast init: no multi-GB host upload at 4096²+.
+        f0 = lattice.equilibrium_rest_device(params.density, params.ny, params.nx)
     obst = jnp.asarray(obstacles, dtype=bool)
     tot_cells = int(obstacles.size - np.count_nonzero(obstacles))
 
@@ -430,7 +431,7 @@ def _i16_single_program(
         )
 
     if f0 is None:
-        f0 = lattice.equilibrium_rest(params.density, params.ny, params.nx)
+        f0 = lattice.equilibrium_rest_device(params.density, params.ny, params.nx)
     dens = float(params.density)
     step = fused_pallas.make_step(params, np.asarray(obstacles), storage="i16")
     obst = jnp.asarray(obstacles, dtype=bool)
@@ -474,8 +475,12 @@ def _folded_single_program(
     F = fused_pallas._fold_factor(nx)
     nx_v = nx // F
     if f0 is None:
-        f0 = lattice.equilibrium_rest(params.density, ny, nx)
-    f0_v = jnp.asarray(np.asarray(f0, dtype=np.float32).reshape(9, ny * F, nx_v))
+        # Device-side broadcast init: no multi-GB host upload at 4096²+.
+        f0_v = lattice.equilibrium_rest_device(params.density, ny * F, nx_v)
+    else:
+        f0_v = jnp.asarray(
+            np.asarray(f0, dtype=np.float32).reshape(9, ny * F, nx_v)
+        )
     step = fused_pallas.make_step(
         params, np.asarray(obstacles), folded_io=True, storage=storage
     )
@@ -527,7 +532,7 @@ def _lane_padded_single_program(
     nx = params.nx
     obst_p, f0_p = _pad_cols_arrays(params, obstacles, f0, p)
     if f0_p is None:
-        f0_p = lattice.equilibrium_rest(params.density, params.ny, padded.nx)
+        f0_p = lattice.equilibrium_rest_device(params.density, params.ny, padded.nx)
     # The kernel refreshes the clone columns in its own output write.
     step = fused_pallas.make_step(padded, obst_p, clone_cols_nx=nx, storage=storage)
     mag = _u_mag_fn(jnp.asarray(obst_p, dtype=bool))

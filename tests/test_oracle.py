@@ -19,6 +19,15 @@ def test_equilibrium_rest_weights():
     assert np.allclose(f.sum(axis=0), 0.9, rtol=1e-6)
 
 
+def test_equilibrium_rest_device_matches_host():
+    """The device-side broadcast init (no multi-GB host upload at 4096²+)
+    must be bitwise-identical to the host-built array."""
+    host = lattice.equilibrium_rest(0.1, 6, 16)
+    dev = np.asarray(lattice.equilibrium_rest_device(0.1, 6, 16))
+    assert dev.dtype == host.dtype
+    np.testing.assert_array_equal(dev, host)
+
+
 def test_rest_state_is_fixed_point_without_accel(small_params, small_obstacles):
     """With accel=0 the rest equilibrium must be a fixed point."""
     params = small_params.replace(accel=0.0)
