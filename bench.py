@@ -15,6 +15,27 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+# Degraded-tunnel guard: the shared TPU tunnel has hours-long windows where
+# execution runs ~10x below the healthy band (CLAUDE.md perf ledger).  A
+# reading below ONE QUARTER of the perfcheck regression floor (floors are
+# themselves ~half the healthy best-of-N rate, lbm_tpu/tools/perfcheck.py)
+# cannot be kernel regression or ordinary 2x noise — it is the tunnel.  In
+# that case wait and re-measure a few times so the recorded artifact
+# reflects the hardware, not the outage; if it never recovers, record the
+# reading tagged "degraded".
+_RETRY_SLEEP_S = 150
+_MAX_RETRIES = 3
+
+
+def _degraded_floor(grid: str, storage: str) -> float | None:
+    from lbm_tpu.tools.perfcheck import CHECKS
+
+    for g, s, _steps, floor, _label in CHECKS:
+        if g == grid and s == storage:
+            return floor / 4.0
+    return None
+
+
 def main() -> int:
     grid = os.environ.get("LBM_BENCH_GRID", "1024x1024")
     steps = os.environ.get("LBM_BENCH_STEPS")
@@ -22,9 +43,13 @@ def main() -> int:
     storage = os.environ.get("LBM_BENCH_STORAGE", "f32")
 
     try:
+        import time
+
+        import jax
+
         from lbm_tpu.tools.bench import run_bench
 
-        report = run_bench(
+        kwargs = dict(
             grid=grid,
             variant=variant,
             steps=int(steps) if steps else None,
@@ -33,12 +58,37 @@ def main() -> int:
             repeats=int(os.environ.get("LBM_BENCH_REPEATS", "4")),
             storage=storage,
         )
+        report = run_bench(**kwargs)
+        floor = _degraded_floor(grid, storage)
+        degraded = False
+        if (
+            floor is not None
+            and variant == "auto"
+            and jax.default_backend() != "cpu"
+        ):
+            for _ in range(_MAX_RETRIES):
+                if report["value"] >= floor:
+                    break
+                print(
+                    f"bench: {report['value']:.0f} MLUPS is below the "
+                    f"degraded-tunnel threshold ({floor:.0f}); retrying in "
+                    f"{_RETRY_SLEEP_S}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+                time.sleep(_RETRY_SLEEP_S)
+                retry = run_bench(**kwargs)
+                if retry["value"] > report["value"]:
+                    report = retry
+            degraded = report["value"] < floor
         out = {
             "metric": report["metric"],
             "value": report["value"],
             "unit": report["unit"],
             "vs_baseline": report["vs_baseline"],
         }
+        if degraded:
+            out["degraded_tunnel"] = True
     except Exception as e:  # emit the one-line JSON contract, but fail loudly
         out = {
             "metric": f"MLUPS {grid}",

@@ -1,0 +1,103 @@
+"""The repo-root bench entrypoint's degraded-tunnel guard.
+
+The shared TPU tunnel has hours-long ~10x-degraded windows (CLAUDE.md perf
+ledger); the recorded per-round benchmark artifact must reflect the
+hardware, not the outage.  bench.main() re-measures (bounded retries with a
+sleep) when the reading falls below a quarter of the perfcheck floor for
+that grid/storage, and tags the output "degraded_tunnel" if it never
+recovers.  These tests drive the guard with mocked measurements.
+"""
+
+import json
+
+import pytest
+
+import bench as bench_entry
+
+
+@pytest.fixture
+def bench_env(monkeypatch):
+    monkeypatch.setenv("LBM_BENCH_GRID", "1024x1024")
+    monkeypatch.setenv("LBM_BENCH_SKIP_VERIFY", "1")
+    monkeypatch.delenv("LBM_BENCH_STEPS", raising=False)
+    monkeypatch.delenv("LBM_BENCH_VARIANT", raising=False)
+    monkeypatch.delenv("LBM_BENCH_STORAGE", raising=False)
+    # No real sleeping in tests.
+    monkeypatch.setattr(bench_entry, "_RETRY_SLEEP_S", 0)
+
+
+def _mock_measurements(monkeypatch, values):
+    """Feed successive run_bench results; record call count."""
+    calls = []
+
+    def fake_run_bench(**kwargs):
+        v = values[min(len(calls), len(values) - 1)]
+        calls.append(kwargs)
+        return {
+            "metric": "MLUPS 1024x1024 mock",
+            "value": v,
+            "unit": "MLUPS",
+            "vs_baseline": round(v / 1796.0, 3),
+        }
+
+    import lbm_tpu.tools.bench as tools_bench
+
+    monkeypatch.setattr(tools_bench, "run_bench", fake_run_bench)
+    return calls
+
+
+def _mock_backend(monkeypatch, name):
+    import jax
+
+    monkeypatch.setattr(jax, "default_backend", lambda: name)
+
+
+def test_degraded_floor_lookup():
+    # 1024x1024 f32 perfcheck floor is 7500 -> degraded threshold 1875.
+    assert bench_entry._degraded_floor("1024x1024", "f32") == pytest.approx(1875.0)
+    assert bench_entry._degraded_floor("999x999", "f32") is None
+
+
+def test_healthy_reading_no_retry(bench_env, monkeypatch, capsys):
+    calls = _mock_measurements(monkeypatch, [15000.0])
+    _mock_backend(monkeypatch, "tpu")
+    assert bench_entry.main() == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["value"] == 15000.0
+    assert "degraded_tunnel" not in out
+    assert len(calls) == 1
+
+
+def test_degraded_reading_retries_until_recovery(bench_env, monkeypatch, capsys):
+    calls = _mock_measurements(monkeypatch, [900.0, 1100.0, 14000.0])
+    _mock_backend(monkeypatch, "tpu")
+    assert bench_entry.main() == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["value"] == 14000.0
+    assert "degraded_tunnel" not in out
+    assert len(calls) == 3
+
+
+def test_degraded_reading_tagged_when_never_recovering(
+    bench_env, monkeypatch, capsys
+):
+    calls = _mock_measurements(monkeypatch, [900.0])
+    _mock_backend(monkeypatch, "tpu")
+    assert bench_entry.main() == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["value"] == 900.0
+    assert out["degraded_tunnel"] is True
+    # initial measurement + bounded retries
+    assert len(calls) == 1 + bench_entry._MAX_RETRIES
+
+
+def test_cpu_backend_skips_retry(bench_env, monkeypatch, capsys):
+    # The pytest/CI backend is CPU; tiny interpret-mode rates must not
+    # trigger sleeps or retries there.
+    calls = _mock_measurements(monkeypatch, [50.0])
+    _mock_backend(monkeypatch, "cpu")
+    assert bench_entry.main() == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["value"] == 50.0
+    assert "degraded_tunnel" not in out
+    assert len(calls) == 1
