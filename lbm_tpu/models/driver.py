@@ -133,8 +133,16 @@ def _pick_variant(scene: Scene, config: RunConfig) -> str:
         nloc = -(-params.ny // n_dev)
         f_bytes = 2 if config.storage == "i16" else 4
         shard_ws = 2 * 9 * nloc * params.nx * f_bytes
+        # Gate at the staleness the build will actually use (an explicit
+        # --staleness changes ca's exchange depth K, and deep K may not map
+        # the slab sweep) so auto never selects a ca it cannot build.
+        ca_stal = (
+            config.staleness
+            if config.staleness is not None
+            else modes.STALENESS_DEFAULTS["ca"]
+        )
         if shard_ws > 80 * 2**20 and modes.ca_supported(
-            params, scene.obstacles, n_dev
+            params, scene.obstacles, n_dev, ca_stal
         ):
             return "ca"
         stale_fraction = 2.0 * n_dev / params.ny
@@ -665,10 +673,16 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
         )
         tail_program = build_program(scene, tail_cfg, f0=f_resume)
         tail_step_fn = tail_program.step
+        # The tail continues from the BULK's final state; its own init state
+        # is never executed — drop it now (a full-grid device array, hundreds
+        # of MB at 4096²+) and lower against the main state's f leaf, which
+        # is the same layout/sharding by construction.
+        tail_program.init_state = None
         if tail_steps:
+            tail_state0 = state0[0] if isinstance(state0, tuple) else state0
             tail_exec = (
                 _make_scan(tail_program, tail_steps, None, False)
-                .lower(tail_program.init_state)
+                .lower(tail_state0)
                 .compile()
             )
     # ca carries bare f; chunked/async carry (f, ghosts...) — sync re-derives
@@ -705,7 +719,8 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
         # a fictitious compute rate (observed: 8.7e6 "MLUPS").  The av_vels
         # transfer this forces is O(num_steps) floats — noise against the
         # device work being timed.
-        tot_parts[-1] = jax.device_get(tot_parts[-1])
+        if tot_parts:  # num_steps=0 runs nothing — no parts to materialize
+            tot_parts[-1] = jax.device_get(tot_parts[-1])
         return state, tot_parts, frames
 
     timer.start("compute")
@@ -725,10 +740,12 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
         tot_us, densities = tot_parts[0]  # debug never segments
         densities = np.asarray(jax.device_get(densities), dtype=np.float32)
         tot_us = np.asarray(jax.device_get(tot_us), dtype=np.float32)
-    else:
+    elif tot_parts:
         tot_us = np.concatenate(
             [np.asarray(jax.device_get(t), dtype=np.float32) for t in tot_parts]
         )
+    else:
+        tot_us = np.zeros(0, dtype=np.float32)
     f_of = tail_program.f_of if tail_exec is not None else program.f_of
     f = np.asarray(jax.device_get(f_of(state)), dtype=np.float32)
     av_vels = tot_us / np.float32(program.tot_cells)

@@ -34,6 +34,7 @@ offsets (MPI/d2q9-bgk.c:333-366).
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 
@@ -117,9 +118,12 @@ def pick_block_rows(n_rows: int, nx: int, fold: int = 1) -> int:
     """Largest divisor of n_rows whose block fits the VMEM budget.
 
     Blocks must stay sublane-aligned and fold-group-aligned (multiple of
-    max(8, fold)) unless one block covers the whole shard.
+    lcm(8, fold) — every piece handed to a lane rotation must START at a
+    fold-group boundary or _group_roll's iota%F phase is wrong; for
+    power-of-2 folds this is the familiar max(8, fold)) unless one block
+    covers the whole shard (which starts at view row 0).
     """
-    align = max(8, fold)
+    align = math.lcm(8, fold)
     best = None
     for b in range(1, n_rows + 1):
         if n_rows % b:

@@ -52,6 +52,7 @@ trapezoid schedule would pay.
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 
@@ -126,23 +127,28 @@ def _plan(
     block_rows: int | None = None,
 ):
     """Choose (fold, rows_v, nx_v, block_rows); raises ValueError when no
-    layout fits VMEM.  Unlike the trapezoid kernel, B needs only sublane
-    (8-row) alignment — the skew has no ghost-group granularity.
+    layout fits VMEM.  Unlike the trapezoid kernel, B has no ghost-group
+    granularity — it needs sublane (8-row) alignment plus fold-group
+    alignment (lcm(8, F): every level window starts at bB - lF, so pieces
+    start at fold-group boundaries iff B % F == 0; _group_roll phases
+    iota%F from the piece start).  For power-of-2 folds lcm(8, F) is the
+    familiar max(8, F).
 
     ``block_rows`` forces an explicit B (tuning / multi-block tests)."""
     fold = 1 if clone_nx is not None else fused_pallas._fold_factor(nx)
     rows_v, nx_v = n_rows * fold, nx // fold
     f_bytes = 2 if storage == "i16" else 4
+    align = math.lcm(8, fold)
     if block_rows is not None:
         b = block_rows
-        if rows_v % b or b < 2 * fold or (b % 8 and b != rows_v):
+        if rows_v % b or b < 2 * fold or (b % align and b != rows_v):
             raise ValueError(
                 f"forced block_rows={b} does not tile a {rows_v}-view-row "
-                f"grid (needs 8-alignment and b >= {2 * fold})"
+                f"grid (needs {align}-alignment and b >= {2 * fold})"
             )
         return fold, rows_v, nx_v, b
     best = None
-    for b in range(8, rows_v + 1, 8):
+    for b in range(align, rows_v + 1, align):
         if rows_v % b or b < 2 * fold:
             continue
         if _footprint(b, nx_v, K, fold, f_bytes) <= _VMEM_BUDGET:
@@ -539,7 +545,11 @@ def make_pair(
     rotated K-step state is quantized once — the pair quantizes twice per
     2K steps."""
     ny, nx = obstacles.shape
-    if not supports(params, K, clone_cols_nx):
+    # Structural gates only — the VMEM feasibility check is _plan itself,
+    # called below with the REAL storage and block_rows (supports() probes
+    # the auto plan at f32, which would wrongly reject i16-only depths and
+    # forced tuning layouts).
+    if K < 2 or nx % LANE != 0 or ny < 2 * K:
         raise ValueError(
             f"skewed temporal pair (K={K}) cannot map a {ny}x{nx} grid"
         )

@@ -45,6 +45,7 @@ once per K steps instead of every step.
 from __future__ import annotations
 
 import functools
+import math
 
 import numpy as np
 
@@ -119,11 +120,15 @@ def _plan(
     fold = 1 if clone_nx is not None else fused_pallas._fold_factor(nx)
     rows_v, nx_v = n_rows * fold, nx // fold
     G = _align8(K * fold)
+    # Blocks must also start at fold-group boundaries (lane rotations phase
+    # iota%F from the piece start — see fused_pallas.pick_block_rows); for
+    # power-of-2 folds lcm(G, fold) == G, so measured configs are unchanged.
+    align = math.lcm(G, fold)
     tuned = _TUNED_B.get((storage, fold, K))
-    if tuned and nx_v == 1024 and rows_v % tuned == 0 and tuned % G == 0:
+    if tuned and nx_v == 1024 and rows_v % tuned == 0 and tuned % align == 0:
         return fold, rows_v, nx_v, G, tuned
     best = None
-    for b in range(G, rows_v + 1, G):
+    for b in range(align, rows_v + 1, align):
         if rows_v % b:
             continue
         if _footprint(b, nx_v, K, fold, 4) <= _VMEM_BUDGET:
@@ -132,7 +137,7 @@ def _plan(
             break
     if best is None:
         raise ValueError(
-            f"no {G}-aligned row block of a {n_rows}x{nx} grid fits the "
+            f"no {align}-aligned row block of a {n_rows}x{nx} grid fits the "
             f"VMEM budget for the K={K} temporal kernel"
         )
     return fold, rows_v, nx_v, G, best
@@ -395,9 +400,9 @@ def make_sweep(
     (9, ny*F, 1024) view.  ``storage='i16'`` stores HBM state as int16
     fixed-point; intermediate levels stay f32 (ops/quant.py)."""
     ny, nx = obstacles.shape
-    if not supports(params, K, clone_cols_nx):
+    if not supports(params, K, clone_cols_nx, storage=storage):
         raise ValueError(
-            f"temporal kernel (K={K}) cannot map a {ny}x{nx} grid"
+            f"temporal kernel (K={K}, {storage}) cannot map a {ny}x{nx} grid"
         )
     call, F, rows_v, nx_v, B = _build_sweep_call(
         params, ny, nx, K, interpret, clone_cols_nx, storage

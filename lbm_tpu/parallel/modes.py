@@ -250,6 +250,20 @@ def build_single_program(
         )
         if prog is not None:
             return prog
+    if backend == "pallas":
+        from lbm_tpu.ops import fused_pallas, resident_pallas
+
+        if (
+            not resident_pallas.supports(params)
+            and fused_pallas.supports(params)
+            and fused_pallas._fold_factor(params.nx) > 1
+        ):
+            # Wide grids (nx = F*1024): delegate BEFORE building f0 so the
+            # folded path can do its own device-side folded init — feeding a
+            # device f0 through would round-trip multi-GB state via the host.
+            return _folded_single_program(
+                params, obstacles, f0, temporal_k=temporal_k
+            )
     if f0 is None:
         # Device-side broadcast init: no multi-GB host upload at 4096²+.
         f0 = lattice.equilibrium_rest_device(params.density, params.ny, params.nx)
@@ -270,14 +284,6 @@ def build_single_program(
 
             variant = "pallas-resident"
         if fused_pallas.supports(params):
-            if make_run_all is None and fused_pallas._fold_factor(params.nx) > 1:
-                # Wide grids (nx = F*1024): keep the state folded to 1024
-                # lanes across the whole run — per-step reshapes are real
-                # TPU relayout copies, and Mosaic per-cell cost degrades
-                # badly past 1024 lanes.
-                return _folded_single_program(
-                    params, obstacles, f0, temporal_k=temporal_k
-                )
             if make_run_all is None:
                 # Grids too big for the resident kernel: K timesteps per
                 # HBM sweep (the state streams are the whole step cost —

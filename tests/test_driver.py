@@ -3,7 +3,7 @@
 import numpy as np
 import pytest
 
-from lbm_tpu.core import oracle
+from lbm_tpu.core import lattice, oracle
 from lbm_tpu.io.scene import Scene
 from lbm_tpu.models import RunConfig, run_simulation, resolve_variant
 from lbm_tpu.models.variants import VARIANTS
@@ -38,6 +38,17 @@ def test_driver_jnp_matches_oracle(scene):
     np.testing.assert_allclose(result.av_vels, av_o, rtol=1e-4)
     assert result.timer.elapsed["compute"] > 0
     assert np.isfinite(result.reynolds)
+
+
+def test_zero_steps_returns_empty_series(scene):
+    # num_steps=0 must return the untouched init state and an empty av_vels
+    # series, not crash on an empty segment list.
+    result = run_simulation(scene, RunConfig(variant="jnp", num_steps=0))
+    assert result.av_vels.shape == (0,)
+    f0 = lattice.equilibrium_rest(
+        scene.params.density, scene.params.ny, scene.params.nx
+    )
+    np.testing.assert_array_equal(result.f, f0)
 
 
 def test_driver_serial_variant(scene):

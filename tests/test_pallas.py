@@ -175,6 +175,38 @@ def test_folded_wide_grid_matches_jnp():
     np.testing.assert_allclose(float(tp), float(tj), rtol=1e-5)
 
 
+def test_fold3_wide_grid_matches_jnp():
+    """Non-power-of-2 fold (nx=3072 -> F=3): pick_block_rows must return a
+    multiple of lcm(8, 3) = 24 so every block (and its fold-row ghosts)
+    starts at a fold-group boundary — _group_roll phases iota%F from the
+    piece start, and a misaligned B silently borrows the periodic x-wrap
+    lane from the wrong fold-group row."""
+    from lbm_tpu.parallel import modes
+
+    params = LBMParams(nx=3072, ny=128, max_iters=4, reynolds_dim=10,
+                       density=0.1, accel=0.005, omega=1.85)
+    assert fused_pallas._fold_factor(params.nx) == 3
+    assert fused_pallas.pick_block_rows(128 * 3, 1024, fold=3) % 24 == 0
+    mask = np.zeros((128, 3072), dtype=bool)
+    mask[0, :] = mask[-1, :] = True
+    mask[4:6, 100:104] = True
+    mask[5, 3000:3010] = True  # asymmetry across the fold boundary
+
+    pj = modes.build_single_program(params, mask, backend="jnp")
+    pp = modes.build_single_program(params, mask, backend="pallas")
+    assert pp.variant == "pallas-folded"
+    sj, sp = pj.init_state, pp.init_state
+    stj, stp = jax.jit(pj.step), jax.jit(pp.step)
+    for _ in range(4):
+        sj, tj = stj(sj)
+        sp, tp = stp(sp)
+    fj = np.asarray(pj.f_of(sj))
+    fp = np.asarray(pp.f_of(sp))
+    assert fp.shape == fj.shape
+    np.testing.assert_allclose(fp, fj, atol=5e-8)
+    np.testing.assert_allclose(float(tp), float(tj), rtol=1e-5)
+
+
 def test_footprint_model_monotone():
     """Block picks respect the calibrated VMEM boundary (nx=1024 -> B=64,
     nx=2048 -> B<=16, nx=4096 -> B=8), matching measured compile limits."""

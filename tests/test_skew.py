@@ -101,6 +101,33 @@ def test_folded_wide_grid():
     )
 
 
+def test_fold3_wide_grid():
+    # Non-power-of-2 fold (nx=3072 -> F=3): blocks must start at fold-group
+    # boundaries (B % F == 0) or _group_roll's iota%F phase borrows the
+    # periodic x-wrap lane from the wrong fold-group row.  _plan must pick a
+    # lcm(8,3)=24-aligned B; forced to 24 here for a 2-block carry chain.
+    params, mask = _scene(16, 3072, seed=11)
+    assert skew_pallas._plan(16, 3072, 2)[3] % 3 == 0
+    f_j, _ = _run_jnp(params, mask, 4)
+    run = skew_pallas.make_run_all(
+        params, mask, 4, K=2, folded_io=True, block_rows=24
+    )
+    f0 = lattice.equilibrium_rest(params.density, 16, 3072)
+    f0 = jnp.asarray(np.asarray(f0, np.float32).reshape(9, 48, 1024))
+    f_t, _ = run(f0)
+    np.testing.assert_allclose(
+        np.asarray(f_t).reshape(9, 16, 3072), f_j, atol=5e-7
+    )
+
+
+def test_forced_block_rows_must_be_fold_aligned():
+    params, mask = _scene(16, 3072, seed=11)
+    with pytest.raises(ValueError, match="24-alignment"):
+        skew_pallas.make_pair(
+            params, mask, K=2, folded_io=True, block_rows=8
+        )
+
+
 def test_i16_storage_stays_inside_quant_tolerance():
     from lbm_tpu.ops import quant
 

@@ -88,6 +88,23 @@ def test_folded_wide_grid():
     )
 
 
+def test_fold3_wide_grid():
+    # Non-power-of-2 fold (nx=3072 -> F=3): the planner must pick a block
+    # height that is a multiple of BOTH the ghost group and the fold (see
+    # fused_pallas.pick_block_rows) so every lane rotation starts at a
+    # fold-group boundary.
+    params, mask = _scene(16, 3072, seed=11)
+    assert temporal_pallas._plan(16, 3072, 2)[4] % 3 == 0
+    f_j, _ = _run_jnp(params, mask, 4)
+    run = temporal_pallas.make_run_all(params, mask, 4, K=2, folded_io=True)
+    f0 = lattice.equilibrium_rest(params.density, 16, 3072)
+    f0 = jnp.asarray(np.asarray(f0, np.float32).reshape(9, 48, 1024))
+    f_t, _ = run(f0)
+    np.testing.assert_allclose(
+        np.asarray(f_t).reshape(9, 16, 3072), f_j, atol=5e-7
+    )
+
+
 def test_i16_storage_stays_inside_quant_tolerance():
     from lbm_tpu.ops import quant
 
