@@ -44,7 +44,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lbm_tpu.core import lattice
-from lbm_tpu.ops import quant, stencil_math
+from lbm_tpu.ops import quant, stencil_math, vmem
 from lbm_tpu.params import LBMParams
 
 F32 = jnp.float32
@@ -130,7 +130,7 @@ def pick_block_rows(n_rows: int, nx: int, fold: int = 1) -> int:
             continue
         if b % align and b != n_rows:
             continue
-        if _kernel_footprint(b, nx, fold) <= _VMEM_BUDGET:
+        if _kernel_footprint(b, nx, fold) <= vmem.scale(_VMEM_BUDGET):
             best = b
         else:
             break
@@ -432,6 +432,7 @@ def _build_call(
             jax.ShapeDtypeStruct((1, 1), jnp.float32),
         ),
         interpret=interpret,
+        **vmem.compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=flops_per_cell * n_rows * nx,
             bytes_accessed=2 * NS * n_rows * nx * f_bytes + n_rows * nx * 4,

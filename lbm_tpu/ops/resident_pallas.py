@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lbm_tpu.core import lattice
-from lbm_tpu.ops import stencil_math
+from lbm_tpu.ops import stencil_math, vmem
 from lbm_tpu.params import LBMParams
 
 F32 = jnp.float32
@@ -45,7 +45,10 @@ DEFAULT_CHUNK = 256
 
 
 def _fits(ny: int, nx: int, mask_rows: int) -> bool:
-    return 3 * NS * ny * nx * 4 + mask_rows * nx * 4 <= _VMEM_STATE_BUDGET
+    return (
+        3 * NS * ny * nx * 4 + mask_rows * nx * 4
+        <= vmem.scale(_VMEM_STATE_BUDGET)
+    )
 
 
 def supports(params: LBMParams) -> bool:
@@ -161,6 +164,7 @@ def make_chunk_runner(
             jax.ShapeDtypeStruct((chunk, 1), jnp.float32),
         ),
         interpret=interpret,
+        **vmem.compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=chunk * 130 * ny * nx,
             bytes_accessed=2 * NS * ny * nx * 4,
@@ -337,6 +341,7 @@ def make_ghosted_chunk_runner(
             jax.ShapeDtypeStruct((chunk, 1), jnp.float32),
         ),
         interpret=interpret,
+        **vmem.compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=chunk * 130 * nloc * nx,
             bytes_accessed=2 * NS * nloc * nx * 4,

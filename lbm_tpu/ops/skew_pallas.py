@@ -63,7 +63,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lbm_tpu.core import lattice
-from lbm_tpu.ops import fused_pallas, quant, stencil_math
+from lbm_tpu.ops import fused_pallas, quant, stencil_math, vmem
 from lbm_tpu.params import LBMParams
 
 F32 = jnp.float32
@@ -151,12 +151,12 @@ def _plan(
     for b in range(align, rows_v + 1, align):
         if rows_v % b or b < 2 * fold:
             continue
-        if _footprint(b, nx_v, K, fold, f_bytes) <= _VMEM_BUDGET:
+        if _footprint(b, nx_v, K, fold, f_bytes) <= vmem.scale(_VMEM_BUDGET):
             best = b
         else:
             break
     if best is None and rows_v >= 2 * fold and (
-        _footprint(rows_v, nx_v, K, fold, f_bytes) <= _VMEM_BUDGET
+        _footprint(rows_v, nx_v, K, fold, f_bytes) <= vmem.scale(_VMEM_BUDGET)
     ):
         best = rows_v  # single unaligned block covering the whole grid
     if best is None:
@@ -511,6 +511,7 @@ def _build_sweep_call(
             jax.ShapeDtypeStruct((K, 1), jnp.float32),
         ),
         interpret=interpret,
+        **vmem.compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=K * 160 * rows_v * nx_v,
             bytes_accessed=2 * NS * rows_v * nx_v * f_bytes

@@ -56,7 +56,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lbm_tpu.core import lattice
-from lbm_tpu.ops import fused_pallas, quant, stencil_math
+from lbm_tpu.ops import fused_pallas, quant, stencil_math, vmem
 from lbm_tpu.params import LBMParams
 
 F32 = jnp.float32
@@ -131,7 +131,7 @@ def _plan(
     for b in range(align, rows_v + 1, align):
         if rows_v % b:
             continue
-        if _footprint(b, nx_v, K, fold, 4) <= _VMEM_BUDGET:
+        if _footprint(b, nx_v, K, fold, 4) <= vmem.scale(_VMEM_BUDGET):
             best = b
         else:
             break
@@ -507,6 +507,7 @@ def _build_sweep_call(
             jax.ShapeDtypeStruct((K, 1), jnp.float32),
         ),
         interpret=interpret,
+        **vmem.compiler_params(),
         cost_estimate=pl.CostEstimate(
             flops=K * 160 * n_rows * nx,
             bytes_accessed=2 * NS * n_rows * nx * f_bytes + n_rows * nx * 4,
