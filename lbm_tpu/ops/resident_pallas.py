@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lbm_tpu.core import lattice
-from lbm_tpu.ops import stencil_math, vmem
+from lbm_tpu.ops import fused_pallas, stencil_math, vmem
 from lbm_tpu.params import LBMParams
 
 F32 = jnp.float32
@@ -52,10 +52,10 @@ def _fits(ny: int, nx: int, mask_rows: int) -> bool:
 
 
 def supports(params: LBMParams) -> bool:
-    return (
-        params.nx % LANE == 0
-        and params.ny % 8 == 0
-        and _fits(params.ny, params.nx, params.ny)
+    if params.nx % LANE != 0 or params.ny % 8:
+        return False
+    return _fits(params.ny, params.nx, params.ny) or _blocked_fits(
+        params.ny, params.nx
     )
 
 
@@ -121,6 +121,147 @@ def _chunk_kernel(
             fout_ref[k] = f_ref[k]
 
 
+# --- block-tiled resident steps: big grids under a raised VMEM limit --------
+#
+# The monolithic _chunk_kernel's per-step temporaries are full-grid tensors
+# (~1-3 extra states live at once), which caps it near the _fits budget.
+# Tiling each step over row blocks bounds the temporaries to O(B) rows while
+# the two state buffers stay fully VMEM-resident — the kernel whose working
+# set is dominated by exactly 2x state + mask.  With the raised scoped-VMEM
+# limit (ops/vmem.py, LBM_VMEM_LIMIT_MB) this extends the zero-HBM-per-step
+# regime to 512^2 (76 MB) and 768^2-class grids on a 128 MiB-VMEM core.
+#
+# Within a step, block i reads only the ping buffer (including its
+# neighbors' rows — free, the whole state is resident) and writes disjoint
+# rows of the pong buffer, so no carries or seam recomputation exist at
+# all; streaming is window *selection* (src rows [r0-cy, r0+B-cy)), not a
+# roll.  The driven row is handled by substituting pre-computed
+# accel-adjusted rows into any window that covers it (same values the
+# full-grid masked injection produces).  Fields are bitwise-identical to
+# the monolithic kernel; the per-step |u| total sums block partials in
+# block order (float-sum reordering vs the monolithic full-grid sum, ~1
+# ulp on av_vels — same contract as the temporal/skew kernels).
+
+
+def _blocked_temp_bytes(b: int, nx: int) -> int:
+    """Live per-block temporaries: 9 windows + 9 streamed + 9 out planes of
+    ~b rows plus moments/equilibria — ~32 (b, nx) f32 buffers."""
+    return 32 * b * nx * 4
+
+
+def _blocked_fits(ny: int, nx: int) -> bool:
+    """Blocked-resident feasibility: 2x state + mask + minimal-block
+    temporaries inside the scaled budget.  Only active under a RAISED
+    scoped-VMEM limit: at the default 16 MiB the monolithic budget already
+    covers everything the chip was measured to map, and flipping grids
+    between kernels without hardware measurements is not worth it."""
+    if vmem.limit_mb() == vmem.DEFAULT_LIMIT_MB:
+        return False
+    state = (2 * NS * ny + ny) * nx * 4
+    return state + _blocked_temp_bytes(8, nx) <= vmem.scale(_VMEM_STATE_BUDGET)
+
+
+def _pick_block_rows(ny: int, nx: int) -> int:
+    """Largest 8-aligned divisor of ny (capped at 256 rows) whose block
+    temporaries fit the headroom the two resident state buffers leave."""
+    head = vmem.scale(_VMEM_STATE_BUDGET) - (2 * NS * ny + ny) * nx * 4
+    best = None
+    for b in range(8, min(ny, 256) + 1, 8):
+        if ny % b:
+            continue
+        if _blocked_temp_bytes(b, nx) <= head:
+            best = b
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"no row block of a {ny}x{nx} grid fits the blocked-resident "
+            "VMEM headroom"
+        )
+    return best
+
+
+def _blocked_chunk_kernel(
+    f_ref,  # (9, ny, nx) VMEM in
+    obst_ref,  # (ny, nx) f32 VMEM in
+    fout_ref,  # (9, ny, nx) VMEM out
+    av_ref,  # (chunk, 1) f32 SMEM out
+    *,
+    chunk: int,
+    ny: int,
+    block_rows: int,
+    omega: float,
+    accel_row: int,
+    w1a: float,
+    w2a: float,
+):
+    B = block_rows
+    nb = ny // B
+    fluid_ar = obst_ref[accel_row : accel_row + 1, :] == F32(0.0)
+    ar_mask = jnp.full((1, 1), True)
+
+    def one_step(src, dst, t):
+        # Accel-adjusted source rows at the driven row (pre-stream values;
+        # bitwise the full-grid masked injection's result at that row).
+        planes_ar = [src[k, accel_row : accel_row + 1, :] for k in range(NS)]
+        adj = stencil_math.accel_planes(
+            planes_ar, fluid_ar, ar_mask, F32(w1a), F32(w2a)
+        )
+
+        def window(k, r0):
+            # Post-accel source rows [r0-cy, r0+B-cy), periodic, then the
+            # lane rotation.  Split into static segments at wrap rows and at
+            # the driven row (which substitutes adj[k]); the concat output
+            # gives the rotation a canonical-layout input.
+            cy = lattice.CY[k]
+            parts = []
+            run_start = None
+            for j in range(r0 - cy, r0 + B - cy):
+                jm = j % ny
+                single = jm != j or jm == accel_row
+                if single:
+                    if run_start is not None:
+                        parts.append(src[k, run_start:j, :])
+                        run_start = None
+                    parts.append(
+                        adj[k] if jm == accel_row else src[k, jm : jm + 1, :]
+                    )
+                elif run_start is None:
+                    run_start = j
+            if run_start is not None:
+                parts.append(src[k, run_start : r0 + B - cy, :])
+            w = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+            return fused_pallas._roll_x(w, lattice.CX[k])
+
+        tot = None
+        for i in range(nb):
+            r0 = i * B
+            obst_blk = obst_ref[r0 : r0 + B, :] != F32(0.0)
+            streamed = [window(k, r0) for k in range(NS)]
+            out, partial = stencil_math.collide_and_av(
+                streamed, obst_blk, F32(omega)
+            )
+            for k in range(NS):
+                dst[k, r0 : r0 + B, :] = out[k]
+            tot = partial if tot is None else tot + partial
+        av_ref[t, 0] = tot
+
+    pairs = chunk // 2
+
+    def body(it, _):
+        one_step(f_ref, fout_ref, 2 * it)
+        one_step(fout_ref, f_ref, 2 * it + 1)
+        return 0
+
+    lax.fori_loop(0, pairs, body, 0)
+
+    if chunk % 2 == 1:
+        one_step(f_ref, fout_ref, chunk - 1)
+    else:
+        for k in range(NS):
+            fout_ref[k] = f_ref[k]
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
@@ -130,23 +271,44 @@ def make_chunk_runner(
     obstacles: np.ndarray,
     chunk: int,
     interpret: bool | None = None,
+    force_blocked: bool = False,
 ):
-    """Build ``f -> (f_after_chunk, av_sums (chunk,))``, fully on-chip."""
+    """Build ``f -> (f_after_chunk, av_sums (chunk,))``, fully on-chip.
+
+    Grids beyond the monolithic kernel's temporary budget run the
+    block-tiled step variant (requires the raised scoped-VMEM limit,
+    ops/vmem.py).  ``force_blocked`` pins the blocked kernel for testing."""
     ny, nx = obstacles.shape
-    if not supports(params):
+    if not (supports(params) or force_blocked):
         raise ValueError(f"grid {ny}x{nx} does not fit the VMEM-resident kernel")
     if interpret is None:
         interpret = _use_interpret()
     w1a, w2a = lattice.accel_weights(params.density, params.accel)
-    kernel = functools.partial(
-        _chunk_kernel,
-        chunk=chunk,
-        ny=ny,
-        omega=float(params.omega),
-        accel_row=params.accel_row,
-        w1a=float(w1a),
-        w2a=float(w2a),
-    )
+    if force_blocked or not _fits(ny, nx, ny):
+        kernel = functools.partial(
+            _blocked_chunk_kernel,
+            chunk=chunk,
+            ny=ny,
+            block_rows=(
+                _pick_block_rows(ny, nx)
+                if not force_blocked or _blocked_fits(ny, nx)
+                else 8
+            ),
+            omega=float(params.omega),
+            accel_row=params.accel_row,
+            w1a=float(w1a),
+            w2a=float(w2a),
+        )
+    else:
+        kernel = functools.partial(
+            _chunk_kernel,
+            chunk=chunk,
+            ny=ny,
+            omega=float(params.omega),
+            accel_row=params.accel_row,
+            w1a=float(w1a),
+            w2a=float(w2a),
+        )
     obst_f = jnp.asarray(obstacles, dtype=jnp.float32)
 
     call = pl.pallas_call(
@@ -185,14 +347,19 @@ def make_run_all(
     num_steps: int,
     chunk: int = DEFAULT_CHUNK,
     interpret: bool | None = None,
+    force_blocked: bool = False,
 ):
     """Build ``f0 -> (f_final, tot_us (num_steps,))`` running the whole loop
     as scan-of-chunks (each chunk one resident kernel launch)."""
     chunk = max(1, min(chunk, num_steps)) if num_steps else 1
     n_full, rem = divmod(num_steps, chunk)
-    run_chunk = make_chunk_runner(params, obstacles, chunk, interpret)
+    run_chunk = make_chunk_runner(
+        params, obstacles, chunk, interpret, force_blocked
+    )
     run_rem = (
-        make_chunk_runner(params, obstacles, rem, interpret) if rem else None
+        make_chunk_runner(params, obstacles, rem, interpret, force_blocked)
+        if rem
+        else None
     )
 
     def run_all(f):

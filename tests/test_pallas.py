@@ -94,6 +94,44 @@ def test_resident_kernel_matches_jnp(scene128, steps, chunk):
     np.testing.assert_allclose(np.asarray(tots), tot_j, rtol=1e-6)
 
 
+@pytest.mark.parametrize("steps,chunk", [(5, 4), (6, 3)])
+def test_blocked_resident_matches_jnp(scene128, steps, chunk):
+    """The block-tiled resident step (big grids under a raised VMEM limit):
+    window selection + accel-row substitution + per-block partials must
+    reproduce the jnp step.  Forced here on a small grid (128x128, B=8 ->
+    16 blocks) so wrap windows and the driven row's window substitution are
+    all exercised; fields bitwise (same op order per cell), av within
+    float-reorder tolerance (block partials sum in block order)."""
+    params, mask = scene128
+    f_j, tot_j = _run_jnp(params, mask, steps)
+    run = jax.jit(resident_pallas.make_run_all(
+        params, mask, steps, chunk=chunk, interpret=True, force_blocked=True
+    ))
+    f0 = jnp.asarray(lattice.equilibrium_rest(params.density, params.ny, params.nx))
+    f, tots = run(f0)
+    assert tots.shape == (steps,)
+    np.testing.assert_allclose(np.asarray(f), f_j, atol=5e-8)
+    np.testing.assert_allclose(np.asarray(tots), tot_j, rtol=1e-5)
+
+
+def test_blocked_resident_supports_requires_raised_limit(monkeypatch):
+    # 512^2 (28 MB 3x-state) exceeds the default budget; with a raised
+    # scoped-VMEM limit the blocked regime takes it.
+    big = LBMParams(nx=512, ny=512, max_iters=1, reynolds_dim=10,
+                    density=0.1, accel=0.01, omega=1.85)
+    monkeypatch.delenv("LBM_VMEM_LIMIT_MB", raising=False)
+    assert not resident_pallas.supports(big)
+    monkeypatch.setenv("LBM_VMEM_LIMIT_MB", "64")
+    assert resident_pallas.supports(big)
+    assert resident_pallas._pick_block_rows(512, 512) % 8 == 0
+    # 1024^2 needs ~80 MB of state: still rejected at 64M, mapped at 120M.
+    big2 = LBMParams(nx=1024, ny=1024, max_iters=1, reynolds_dim=10,
+                     density=0.1, accel=0.01, omega=1.85)
+    assert not resident_pallas.supports(big2)
+    monkeypatch.setenv("LBM_VMEM_LIMIT_MB", "120")
+    assert resident_pallas.supports(big2)
+
+
 def test_resident_through_driver(scene128):
     from lbm_tpu.io.scene import Scene
     from lbm_tpu.models import RunConfig, run_simulation
