@@ -315,11 +315,19 @@ def _make_scan(
                 "the sync/overlap/async variants instead"
             )
         if frame_interval is not None and tail_step is None:
-            raise ValueError(
-                f"frame capture is not supported with {program.variant} "
-                f"({spc} steps per call and a multi-part carry); use the "
-                "ca/sync/overlap/async variants instead"
-            )
+            if program.chunk_inner_step is None or program.chunk_exchange is None:
+                raise ValueError(
+                    f"frame capture is not supported with {program.variant} "
+                    f"({spc} steps per call and a multi-part carry); use the "
+                    "ca/sync/overlap/async variants instead"
+                )
+            if frame_interval % spc:
+                raise ValueError(
+                    f"frame capture with {program.variant} requires "
+                    f"--frame-interval to be a multiple of the {spc}-step "
+                    "chunk (capture segments must all start at the same "
+                    "in-chunk phase)"
+                )
         if frame_interval is None and num_steps % spc:
             # run_simulation splits off a sync tail before calling here; a
             # non-multiple reaching this point is an internal error.
@@ -411,10 +419,49 @@ def _make_scan(
         # exactly: frame k is the state after k*interval + 1 steps.  The
         # reference design point: zero-cost capture inside the fastest
         # variant (MPI_Testall_OptimizedVersion/d2q9-bgk.c:1093-1273).
-        def make_adv(n):
-            """state -> (state, (n,) per-step tot_us), advancing n steps."""
+        chunk_inner = program.chunk_inner_step
+        chunk_exch = program.chunk_exchange
+        # Chunked programs advance through their own primitives (one
+        # frozen-ghost step / one ghost exchange): capture points land
+        # mid-chunk without changing the schedule — the chunk's inner python
+        # loop is merely split across jit ops.  interval % spc == 0
+        # (validated above) keeps every mid segment at in-chunk phase 1, so
+        # one compiled segment body serves the whole scan.
+        use_chunk_parts = spc > 1 and tail_step is None and chunk_inner is not None
+
+        def make_adv(n, phase0=0):
+            """state -> (state, (n,) per-step tot_us), advancing n steps
+            (``phase0``: in-chunk phase at entry, chunked programs only)."""
             if program.make_run_all is not None:
                 return program.make_run_all(n)
+            if use_chunk_parts:
+
+                def adv(state):
+                    parts = []
+                    phase, rem = phase0, n
+                    while rem:
+                        t = min(spc - phase, rem)
+                        if t == 1:
+                            state, tu = chunk_inner(state)
+                            parts.append(jnp.reshape(tu, (1,)))
+                        else:
+                            state, tb = lax.scan(
+                                lambda s, _: chunk_inner(s), state, None,
+                                length=t,
+                            )
+                            parts.append(tb)
+                        phase += t
+                        rem -= t
+                        if phase == spc:
+                            state = chunk_exch(state)
+                            phase = 0
+                    if not parts:
+                        return state, jnp.zeros((0,), jnp.float32)
+                    return state, (
+                        parts[0] if len(parts) == 1 else jnp.concatenate(parts)
+                    )
+
+                return adv
             calls, odd = divmod(n, spc)
 
             def adv(state):
@@ -439,10 +486,12 @@ def _make_scan(
 
             return adv
 
+        # After the first 1-step advance every segment starts at in-chunk
+        # phase 1 (interval % spc == 0 for chunked programs).
         adv_first = make_adv(1)
-        adv_mid = make_adv(interval) if n_frames > 1 else None
+        adv_mid = make_adv(interval, phase0=1) if n_frames > 1 else None
         tail_n = num_steps - 1 - (n_frames - 1) * interval
-        adv_tail = make_adv(tail_n) if tail_n > 0 else None
+        adv_tail = make_adv(tail_n, phase0=1) if tail_n > 0 else None
 
         def run(state):
             state, t0 = adv_first(state)

@@ -172,6 +172,14 @@ def describe_plan(scene: Scene, config) -> str:
     tail = num_steps % spc if spc > 1 else 0
     if tail and (config.frame_interval is not None or config.debug):
         tail = 0  # frames/debug reject multi-step programs before tailing
+    if (
+        config.frame_interval is not None
+        and variant == "chunked"
+        and spc > 1
+        and config.frame_interval % spc
+    ):
+        out(f"NOTE: this run will FAIL — frame capture with chunked requires "
+            f"--frame-interval to be a multiple of the {spc}-step chunk")
     if tail:
         out(f"tail: {variant} advances {spc} steps per exchange; the last "
             f"{tail} step(s) run as an exact sync tail (bitwise continuation)")

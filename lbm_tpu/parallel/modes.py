@@ -78,6 +78,14 @@ class StepProgram:
     # this shape so their sharding divides evenly.  f_of/u_mag still return
     # the unpadded user view.
     global_shape: tuple[int, int] | None = None
+    # Multi-step (chunked) programs only: the chunk decomposed into its two
+    # primitives so the driver's frame path can stop at mid-chunk capture
+    # points without changing the schedule.  chunk_inner_step advances ONE
+    # step with frozen ghosts (no exchange); chunk_exchange refreshes the
+    # ghosts (and pad clones) exactly as the whole-chunk step() does after
+    # its k inner steps.  step() == k x inner + exchange (tested).
+    chunk_inner_step: Callable[[Any], tuple[Any, jax.Array]] | None = None
+    chunk_exchange: Callable[[Any], Any] | None = None
 
 
 def lane_pad_cols(nx: int) -> int:
@@ -1070,6 +1078,36 @@ def build_sharded_program(
         def f_of(state):  # noqa: F811 — wraps the storage codec
             return quant.dequantize(_raw_f_of(state), dens)
 
+    # Chunk primitives for the driver's frame path (see StepProgram): one
+    # frozen-ghost step and one ghost exchange, composing bitwise to the
+    # whole-chunk step().  Open-seam padding is excluded — its pad rows are
+    # frozen at chunk-START clone values inside step_chunked, which a
+    # stateless per-step decomposition cannot reproduce.
+    chunk_inner_step = None
+    chunk_exchange = None
+    if mode == "chunked" and not open_pad:
+
+        def _chunk_inner_shard(carry, obst_slab):
+            f_local, ghost_lo, ghost_hi = carry
+            slab = jnp.concatenate([ghost_lo, f_local, ghost_hi], axis=1)
+            new_f, tot_u = local_slab_step(slab, obst_slab, shard_row_offset())
+            return (new_f, ghost_lo, ghost_hi), tot_u
+
+        chunk_inner_step = spmd(_chunk_inner_shard, (f_spec, f_spec, f_spec))
+
+        def _chunk_exch_shard(carry):
+            f_local = carry[0]
+            new_lo, new_hi = exchange(f_local)
+            return (refresh_pads(f_local), new_lo, new_hi)
+
+        chunk_exchange = jax.shard_map(
+            _chunk_exch_shard,
+            mesh=mesh,
+            in_specs=((f_spec, f_spec, f_spec),),
+            out_specs=(f_spec, f_spec, f_spec),
+            check_vma=False,
+        )
+
     f_of_padded = f_of
 
     if pad_rows or pad_cols:
@@ -1111,4 +1149,6 @@ def build_sharded_program(
         ),
         global_shape=(ny, nx),
         backend=backend,
+        chunk_inner_step=chunk_inner_step,
+        chunk_exchange=chunk_exchange,
     )

@@ -171,13 +171,67 @@ def test_frames_i16_storage():
     np.testing.assert_allclose(res.frames, ref.frames, atol=1e-3)
 
 
-def test_frames_still_rejected_for_chunked():
+def test_chunk_primitives_compose_to_whole_chunk():
+    """k frozen-ghost inner steps + one exchange must be bitwise the
+    whole-chunk step() (the decomposition the frame path advances by)."""
+    import jax
+
+    from lbm_tpu.parallel import mesh as mesh_lib
+    from lbm_tpu.parallel import modes
+
+    sc = _kernel_scene(32, 128, steps=8)
+    mesh = mesh_lib.make_row_mesh(4)
+    prog = modes.build_sharded_program(
+        sc.params, sc.obstacles, mesh, mode="chunked", staleness=3,
+        backend="jnp",
+    )
+    s_whole, tots = jax.jit(prog.step)(prog.init_state)
+    inner = jax.jit(prog.chunk_inner_step)
+    exch = jax.jit(prog.chunk_exchange)
+    s = prog.init_state
+    parts = []
+    for _ in range(3):
+        s, tu = inner(s)
+        parts.append(np.asarray(tu))
+    s = exch(s)
+    for a, b in zip(jax.tree.leaves(s_whole), jax.tree.leaves(s)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(parts), np.asarray(tots))
+
+
+def test_frames_on_chunked_variant():
+    """Chunked frame capture (previously rejected): capture points land
+    mid-chunk by splitting the chunk into its inner steps, with exchanges at
+    the same schedule positions — so the frames run reproduces the
+    no-frames chunked run exactly and frames land at the standard steps."""
     sc = _kernel_scene(32, 128, steps=24)
-    with pytest.raises(ValueError, match="frame capture"):
+    base = run_simulation(sc, RunConfig(
+        variant="chunked", num_devices=4, staleness=2, backend="jnp",
+    ))
+    res = run_simulation(sc, RunConfig(
+        variant="chunked", num_devices=4, staleness=2, backend="jnp",
+        frame_interval=10,
+    ))
+    np.testing.assert_array_equal(res.f, base.f)
+    np.testing.assert_array_equal(res.av_vels, base.av_vels)
+    assert list(res.frame_steps) == [0, 10, 20]
+    assert res.frames.shape == (3, 32, 128)
+    # And the frames themselves are the chunked schedule's states: they
+    # deviate from the sync per-step path (stale ghosts) but only boundedly.
+    ref = run_simulation(sc, RunConfig(
+        variant="sync", num_devices=4, backend="jnp", frame_interval=10,
+    ))
+    assert np.max(np.abs(res.frames - ref.frames)) < 1e-2
+    assert not np.array_equal(res.frames, ref.frames)
+
+
+def test_frames_chunked_interval_must_align():
+    sc = _kernel_scene(32, 128, steps=24)
+    with pytest.raises(ValueError, match="multiple of the 4-step chunk"):
         run_simulation(
             sc,
             RunConfig(
-                variant="chunked", num_devices=4, staleness=2,
+                variant="chunked", num_devices=4, staleness=4,
                 frame_interval=10,
             ),
         )
