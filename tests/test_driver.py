@@ -225,6 +225,33 @@ def test_frames_on_chunked_variant():
     assert not np.array_equal(res.frames, ref.frames)
 
 
+def test_frames_chunked_pallas_and_i16():
+    """Chunked frames under the pallas slab backend (whose no-frames step
+    may run the whole chunk in the VMEM-resident ghosted kernel) and under
+    i16 storage: the primitive-decomposed frames run must still reproduce
+    the no-frames run exactly."""
+    sc = _kernel_scene(64, 128, steps=16)
+    with pytest.warns(UserWarning):  # high stale-row exposure advisory
+        base = run_simulation(sc, RunConfig(
+            variant="chunked", num_devices=4, staleness=2,
+        ))
+        res = run_simulation(sc, RunConfig(
+            variant="chunked", num_devices=4, staleness=2, frame_interval=8,
+        ))
+        base16 = run_simulation(sc, RunConfig(
+            variant="chunked", num_devices=4, staleness=2, storage="i16",
+        ))
+        res16 = run_simulation(sc, RunConfig(
+            variant="chunked", num_devices=4, staleness=2, storage="i16",
+            frame_interval=8,
+        ))
+    np.testing.assert_array_equal(res.f, base.f)
+    np.testing.assert_array_equal(res.av_vels, base.av_vels)
+    np.testing.assert_array_equal(res16.f, base16.f)
+    np.testing.assert_array_equal(res16.av_vels, base16.av_vels)
+    assert res.frames.shape == res16.frames.shape == (2, 64, 128)
+
+
 def test_frames_chunked_interval_must_align():
     sc = _kernel_scene(32, 128, steps=24)
     with pytest.raises(ValueError, match="multiple of the 4-step chunk"):
