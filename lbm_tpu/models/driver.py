@@ -294,6 +294,50 @@ def _make_scan(
     same state layout, used by the frame path to advance step counts that
     are not whole multiples of a multi-step program's chunk (ca)."""
     step = program.step
+    spc = program.steps_per_call
+
+    if debug and spc > 1 and program.chunk_inner_step is not None:
+        # Chunked debug: per-step observables come from the chunk's
+        # primitives (one frozen-ghost step / one exchange — composing
+        # bitwise to the whole-chunk step), so the schedule is unchanged
+        # and densities are sampled after every single step.  Remainder
+        # steps run as trailing frozen-ghost inners (chunked semantics).
+        if frame_interval is not None:
+            raise ValueError("frames and --debug cannot be combined")
+        inner, exch = program.chunk_inner_step, program.chunk_exchange
+        n_chunks, rem_dbg = divmod(num_steps, spc)
+
+        def _dens(state):
+            return jnp.sum(program.f_of(state), dtype=jnp.float32)
+
+        def dbg_chunk(state, _):
+            ts, ds = [], []
+            for _j in range(spc):
+                state, tu = inner(state)
+                ts.append(tu)
+                ds.append(_dens(state))
+            state = exch(state)
+            return state, (jnp.stack(ts), jnp.stack(ds))
+
+        def run(state):
+            parts_t, parts_d = [], []
+            if n_chunks:
+                state, (t, d) = lax.scan(
+                    dbg_chunk, state, None, length=n_chunks
+                )
+                parts_t.append(t.reshape(-1))
+                parts_d.append(d.reshape(-1))
+            for _j in range(rem_dbg):
+                state, tu = inner(state)
+                parts_t.append(jnp.reshape(tu, (1,)))
+                parts_d.append(jnp.reshape(_dens(state), (1,)))
+
+            def cat(ps):
+                return ps[0] if len(ps) == 1 else jnp.concatenate(ps)
+
+            return state, (cat(parts_t), cat(parts_d)), None
+
+        return _HoistedJit(run, donate)
 
     if debug:
         # Per-step observables: tot_u plus the total-density invariant.
@@ -306,13 +350,12 @@ def _make_scan(
 
         step = dbg_step
 
-    spc = program.steps_per_call
     if spc > 1:
         if debug:
             raise ValueError(
-                f"debug tracing is not supported with multi-step programs "
-                f"({program.variant} advances {spc} steps per call); use "
-                "the sync/overlap/async variants instead"
+                f"debug tracing is not supported with {program.variant} "
+                f"({spc} steps per call and no per-step decomposition); use "
+                "the chunked/sync/overlap/async variants instead"
             )
         if frame_interval is not None and tail_step is None:
             if program.chunk_inner_step is None or program.chunk_exchange is None:

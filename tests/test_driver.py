@@ -252,6 +252,32 @@ def test_frames_chunked_pallas_and_i16():
     assert res.frames.shape == res16.frames.shape == (2, 64, 128)
 
 
+def test_debug_on_chunked_variant(capsys):
+    """--debug with chunked (previously rejected): per-step av velocity and
+    total density sampled through the chunk primitives, schedule unchanged
+    (final state bitwise vs the no-debug run), remainder steps handled."""
+    sc = _kernel_scene(32, 128, steps=11)  # 5 chunks of 2 + remainder 1
+    base = run_simulation(sc, RunConfig(
+        variant="chunked", num_devices=4, staleness=2, backend="jnp",
+        num_steps=10,
+    ))
+    res = run_simulation(sc, RunConfig(
+        variant="chunked", num_devices=4, staleness=2, backend="jnp",
+        num_steps=11, debug=True,
+    ))
+    out = capsys.readouterr().out
+    assert out.count("==timestep:") == 11
+    assert out.count("tot density:") == 11
+    assert res.av_vels.shape == (11,)
+    # First 10 steps of the debug run reproduce the plain chunked run.
+    np.testing.assert_array_equal(res.av_vels[:10], base.av_vels)
+    # Density stays conserved (periodic + bounce-back walls).
+    import re
+
+    dens = [float(m) for m in re.findall(r"tot density: ([0-9.E+-]+)", out)]
+    np.testing.assert_allclose(dens, dens[0], rtol=1e-5)
+
+
 def test_frames_chunked_interval_must_align():
     sc = _kernel_scene(32, 128, steps=24)
     with pytest.raises(ValueError, match="multiple of the 4-step chunk"):
