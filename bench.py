@@ -26,6 +26,29 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 _RETRY_SLEEP_S = 150
 _MAX_RETRIES = 3
 
+# The tunnel can also hang OUTRIGHT (jax.devices() blocks forever — observed
+# for 4+ hours).  An in-process jax import would then hang this script and
+# the whole round-end artifact collection with it, so device reachability is
+# probed in a subprocess with a hard timeout first.
+_PROBE_TIMEOUT_S = 180
+_PROBE_ATTEMPTS = 4
+_PROBE_SLEEP_S = 120
+
+
+def _device_reachable(timeout_s: float = _PROBE_TIMEOUT_S) -> bool:
+    import subprocess
+
+    try:
+        subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s,
+            check=True,
+            capture_output=True,
+        )
+        return True
+    except Exception:
+        return False
+
 
 def _degraded_floor(grid: str, storage: str) -> float | None:
     from lbm_tpu.tools.perfcheck import CHECKS
@@ -42,9 +65,33 @@ def main() -> int:
     variant = os.environ.get("LBM_BENCH_VARIANT", "auto")
     storage = os.environ.get("LBM_BENCH_STORAGE", "f32")
 
-    try:
-        import time
+    import time
 
+    for attempt in range(_PROBE_ATTEMPTS):
+        if _device_reachable():
+            break
+        print(
+            f"bench: device backend unreachable (tunnel hang?), attempt "
+            f"{attempt + 1}/{_PROBE_ATTEMPTS}; retrying in {_PROBE_SLEEP_S}s",
+            file=sys.stderr,
+            flush=True,
+        )
+        time.sleep(_PROBE_SLEEP_S)
+    else:
+        print(
+            json.dumps(
+                {
+                    "metric": f"MLUPS {grid}",
+                    "value": 0,
+                    "unit": "MLUPS",
+                    "vs_baseline": 0,
+                    "error": "device backend unreachable (tunnel hang)",
+                }
+            )
+        )
+        return 1
+
+    try:
         import jax
 
         from lbm_tpu.tools.bench import run_bench
