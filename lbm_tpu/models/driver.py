@@ -354,8 +354,15 @@ def _make_scan(
         if debug:
             raise ValueError(
                 f"debug tracing is not supported with {program.variant} "
-                f"({spc} steps per call and no per-step decomposition); use "
-                "the chunked/sync/overlap/async variants instead"
+                f"({spc} steps per call and no per-step decomposition"
+                + (
+                    "; i16 ca quantizes once per sweep, so the sync "
+                    "decomposition would trace a different trajectory"
+                    if program.variant.startswith("ca")
+                    else "; open-seam pad rows freeze at chunk start, which "
+                    "a per-step decomposition cannot reproduce"
+                )
+                + "); use the sync/overlap/async variants instead"
             )
         if frame_interval is not None and tail_step is None:
             if program.chunk_inner_step is None or program.chunk_exchange is None:
@@ -728,6 +735,32 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
 
     timer.start("init")
     program = build_program(scene, config, f0=f_resume)
+
+    # --debug with ca: ca is bitwise-equal to the sync discipline on f32
+    # fields (tested, tests/test_ca.py), so per-step debug observables come
+    # from the sync schedule — identical trajectory, no K-step carry in the
+    # way.  i16 ca stays rejected in _make_scan: its once-per-sweep
+    # quantization grouping differs from sync's per-step one, so the sync
+    # trajectory would not be the traced run's.
+    if (
+        config.debug
+        and program.steps_per_call > 1
+        and program.variant.startswith("ca")
+        and config.storage == "f32"
+    ):
+        import warnings
+
+        ca_label = program.variant
+        warnings.warn(
+            f"--debug decomposes {ca_label} into its bitwise-identical "
+            "sync schedule (one exchange per step) for per-step observables",
+            stacklevel=2,
+        )
+        dbg_cfg = dataclasses.replace(
+            config, variant="sync", staleness=None, temporal_k=None
+        )
+        program = build_program(scene, dbg_cfg, f0=f_resume)
+        program.variant = f"{ca_label}+debug-as-sync"
 
     if config.checkpoint_every:
         return _run_with_checkpoints(

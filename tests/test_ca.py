@@ -243,3 +243,67 @@ def test_ca_lane_padded_grid(mesh4):
     f_ca, tot_ca = _run(ca, steps=8)
     np.testing.assert_allclose(f_ca, f_sync, atol=5e-7)
     np.testing.assert_allclose(tot_ca, tot_sync, rtol=1e-4)
+
+
+def test_ca_debug_runs_sync_decomposition(ca_scene, capsys):
+    """--debug with ca (previously rejected): per-step observables come from
+    the bitwise-identical sync schedule; av_vels match the plain ca run and
+    densities are printed for every step."""
+    params, mask = ca_scene
+    from lbm_tpu.io.scene import Scene
+
+    scene = Scene(params=params, obstacles=mask)
+    base = run_simulation(
+        scene,
+        RunConfig(variant="ca", num_devices=4, staleness=4, num_steps=8),
+    )
+    with pytest.warns(UserWarning, match="bitwise-identical sync schedule"):
+        res = run_simulation(
+            scene,
+            RunConfig(
+                variant="ca", num_devices=4, staleness=4, num_steps=8,
+                debug=True,
+            ),
+        )
+    out = capsys.readouterr().out
+    assert out.count("==timestep:") == 8
+    assert out.count("tot density:") == 8
+    assert res.variant == "ca-4+debug-as-sync"
+    # CPU interpret leaves ~ulp noise between the slab sweep and the
+    # per-step path; on TPU they are bitwise.
+    np.testing.assert_allclose(res.f, base.f, atol=5e-7)
+    np.testing.assert_allclose(res.av_vels, base.av_vels, rtol=1e-4)
+
+
+def test_ca_debug_i16_rejected(ca_scene):
+    """i16 ca quantizes once per sweep, so the per-step sync decomposition
+    would trace a different trajectory — rejected with a pointed message."""
+    params, mask = ca_scene
+    from lbm_tpu.io.scene import Scene
+
+    scene = Scene(params=params, obstacles=mask)
+    with pytest.raises(ValueError, match="quantizes once per sweep"):
+        run_simulation(
+            scene,
+            RunConfig(
+                variant="ca", num_devices=4, staleness=4, num_steps=8,
+                debug=True, storage="i16",
+            ),
+        )
+
+
+def test_plan_notes_ca_debug(ca_scene):
+    from lbm_tpu.io.scene import Scene
+    from lbm_tpu.models.plan import describe_plan
+
+    params, mask = ca_scene
+    scene = Scene(params=params, obstacles=mask)
+    plan = describe_plan(scene, RunConfig(
+        variant="ca", num_devices=4, staleness=4, num_steps=8, debug=True,
+    ))
+    assert "bitwise-identical sync schedule" in plan
+    plan16 = describe_plan(scene, RunConfig(
+        variant="ca", num_devices=4, staleness=4, num_steps=8, debug=True,
+        storage="i16",
+    ))
+    assert "will FAIL" in plan16 and "i16" in plan16
