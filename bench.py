@@ -70,13 +70,16 @@ def main() -> int:
     for attempt in range(_PROBE_ATTEMPTS):
         if _device_reachable():
             break
+        last = attempt + 1 == _PROBE_ATTEMPTS
         print(
             f"bench: device backend unreachable (tunnel hang?), attempt "
-            f"{attempt + 1}/{_PROBE_ATTEMPTS}; retrying in {_PROBE_SLEEP_S}s",
+            f"{attempt + 1}/{_PROBE_ATTEMPTS}"
+            + ("" if last else f"; retrying in {_PROBE_SLEEP_S}s"),
             file=sys.stderr,
             flush=True,
         )
-        time.sleep(_PROBE_SLEEP_S)
+        if not last:
+            time.sleep(_PROBE_SLEEP_S)
     else:
         print(
             json.dumps(

@@ -301,7 +301,8 @@ def _make_scan(
         # primitives (one frozen-ghost step / one exchange — composing
         # bitwise to the whole-chunk step), so the schedule is unchanged
         # and densities are sampled after every single step.  Remainder
-        # steps run as trailing frozen-ghost inners (chunked semantics).
+        # steps exchange before every inner (fresh ghosts = the sync
+        # discipline), matching the plain run's exact sync tail.
         if frame_interval is not None:
             raise ValueError("frames and --debug cannot be combined")
         inner, exch = program.chunk_inner_step, program.chunk_exchange
@@ -328,6 +329,7 @@ def _make_scan(
                 parts_t.append(t.reshape(-1))
                 parts_d.append(d.reshape(-1))
             for _j in range(rem_dbg):
+                state = exch(state)
                 state, tu = inner(state)
                 parts_t.append(jnp.reshape(tu, (1,)))
                 parts_d.append(jnp.reshape(_dens(state), (1,)))
@@ -475,22 +477,35 @@ def _make_scan(
         # frozen-ghost step / one ghost exchange): capture points land
         # mid-chunk without changing the schedule — the chunk's inner python
         # loop is merely split across jit ops.  interval % spc == 0
-        # (validated above) keeps every mid segment at in-chunk phase 1, so
-        # one compiled segment body serves the whole scan.
+        # (validated above) keeps every whole-bulk segment at in-chunk phase
+        # 1, so one compiled segment body serves them all.  Steps at or past
+        # ``bulk_start`` (the plain run's exact-sync-tail region) exchange
+        # before every inner — fresh ghosts, the sync discipline — so the
+        # frames run stays bitwise-equal to the no-frames run at ANY step
+        # count, not only multiples of the chunk.
         use_chunk_parts = spc > 1 and tail_step is None and chunk_inner is not None
+        bulk_start = num_steps - (num_steps % spc) if use_chunk_parts else num_steps
 
-        def make_adv(n, phase0=0):
+        def make_adv(n, start=0):
             """state -> (state, (n,) per-step tot_us), advancing n steps
-            (``phase0``: in-chunk phase at entry, chunked programs only)."""
+            (``start``: global step position at entry — chunked programs
+            derive the in-chunk phase and the sync-tail boundary from it)."""
             if program.make_run_all is not None:
                 return program.make_run_all(n)
             if use_chunk_parts:
 
                 def adv(state):
                     parts = []
-                    phase, rem = phase0, n
-                    while rem:
-                        t = min(spc - phase, rem)
+                    pos, end = start, start + n
+                    while pos < end:
+                        if pos >= bulk_start:
+                            # Sync-tail region: fresh ghosts every step.
+                            state = chunk_exch(state)
+                            state, tu = chunk_inner(state)
+                            parts.append(jnp.reshape(tu, (1,)))
+                            pos += 1
+                            continue
+                        t = min(spc - pos % spc, end - pos, bulk_start - pos)
                         if t == 1:
                             state, tu = chunk_inner(state)
                             parts.append(jnp.reshape(tu, (1,)))
@@ -500,11 +515,9 @@ def _make_scan(
                                 length=t,
                             )
                             parts.append(tb)
-                        phase += t
-                        rem -= t
-                        if phase == spc:
+                        pos += t
+                        if pos % spc == 0:
                             state = chunk_exch(state)
-                            phase = 0
                     if not parts:
                         return state, jnp.zeros((0,), jnp.float32)
                     return state, (
@@ -537,11 +550,23 @@ def _make_scan(
             return adv
 
         # After the first 1-step advance every segment starts at in-chunk
-        # phase 1 (interval % spc == 0 for chunked programs).
+        # phase 1 (interval % spc == 0 for chunked programs).  Mid segments
+        # fully inside the bulk share one compiled body under lax.scan; the
+        # (at most one) segment crossing ``bulk_start`` and the final
+        # partial segment get their own advances at static positions.
         adv_first = make_adv(1)
-        adv_mid = make_adv(interval, phase0=1) if n_frames > 1 else None
+        mid_starts = [1 + (k - 1) * interval for k in range(1, n_frames)]
+        n_scan = sum(1 for s in mid_starts if s + interval <= bulk_start)
+        adv_mid = make_adv(interval, start=1) if n_scan else None
+        late_advs = [
+            make_adv(interval, start=s) for s in mid_starts[n_scan:]
+        ]
         tail_n = num_steps - 1 - (n_frames - 1) * interval
-        adv_tail = make_adv(tail_n, phase0=1) if tail_n > 0 else None
+        adv_tail = (
+            make_adv(tail_n, start=1 + (n_frames - 1) * interval)
+            if tail_n > 0
+            else None
+        )
 
         def run(state):
             state, t0 = adv_first(state)
@@ -559,9 +584,15 @@ def _make_scan(
                     return (st, fr), tots
 
                 (state, frames), t_mid = lax.scan(
-                    body, (state, frames), jnp.arange(1, n_frames)
+                    body, (state, frames), jnp.arange(1, n_scan + 1)
                 )
                 parts.append(t_mid.reshape(-1))
+            for j, adv in enumerate(late_advs):
+                state, tots = adv(state)
+                frames = lax.dynamic_update_slice(
+                    frames, program.u_mag(state)[None], (n_scan + 1 + j, 0, 0)
+                )
+                parts.append(tots)
             if adv_tail is not None:
                 state, t_tail = adv_tail(state)
                 parts.append(t_tail)
@@ -788,11 +819,28 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
     tail_program = None
     tail_exec = None
     tail_step_fn = None
+    # Chunked programs expose their two primitives: the tail runs as
+    # exchange-then-inner per step (fresh ghosts = the sync discipline),
+    # sharing the exact ops the frames/debug decompositions use, so all
+    # three paths stay bitwise-identical at any step count.
+    if tail_steps and program.chunk_inner_step is not None:
+        c_inner, c_exch = program.chunk_inner_step, program.chunk_exchange
+
+        def _chunk_tail_run(state):
+            def body(st, _):
+                st = c_exch(st)
+                st, tu = c_inner(st)
+                return st, tu
+
+            state, tots = lax.scan(body, state, None, length=tail_steps)
+            return state, tots, None
+
+        tail_exec = _HoistedJit(_chunk_tail_run, False).lower(state0).compile()
     # The sync auxiliary program serves two jobs: the post-bulk tail
     # executable for non-multiple step counts, and (frame capture on ca,
     # whose state is the same bare f) the in-jit single-step advance for
     # inter-frame segments that are not whole chunks.
-    if spc > 1 and (tail_steps or (frames_on and not isinstance(state0, tuple))):
+    elif spc > 1 and (tail_steps or (frames_on and not isinstance(state0, tuple))):
         tail_cfg = dataclasses.replace(
             config, variant="sync", staleness=None, temporal_k=None
         )
@@ -812,7 +860,13 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
             )
     # ca carries bare f; chunked/async carry (f, ghosts...) — sync re-derives
     # ghosts from f at the start of each step, so only f crosses over.
-    tail_state_of = (lambda s: s[0]) if isinstance(state0, tuple) else (lambda s: s)
+    # The chunk-primitive tail advances the program's own (f, ghosts) carry;
+    # the sync-program tail takes bare f only.
+    tail_state_of = (
+        (lambda s: s)
+        if tail_program is None
+        else (lambda s: s[0]) if isinstance(state0, tuple) else (lambda s: s)
+    )
 
     seg_lengths = _segment_lengths(bulk, config, program) if bulk else []
     if seg_lengths is None:
@@ -871,7 +925,11 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
         )
     else:
         tot_us = np.zeros(0, dtype=np.float32)
-    f_of = tail_program.f_of if tail_exec is not None else program.f_of
+    f_of = (
+        tail_program.f_of
+        if tail_exec is not None and tail_program is not None
+        else program.f_of
+    )
     f = np.asarray(jax.device_get(f_of(state)), dtype=np.float32)
     av_vels = tot_us / np.float32(program.tot_cells)
     if start_step:

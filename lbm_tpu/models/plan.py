@@ -155,13 +155,11 @@ def describe_plan(scene: Scene, config) -> str:
             # The SAME gate the build and the auto policy use
             # (modes.ca_supported) — no drift.
             pad_rows = (-ny) % n_dev
-            obstacles = scene.obstacles
-            walled = bool(obstacles[0].all() and obstacles[-1].all())
-            if pad_rows and not walled:
+            if modes.open_seam_pad(scene.obstacles, n_dev):
                 out("NOTE: this run will FAIL — ca does not support "
                     "open-seam row padding (ny not divisible by the mesh)")
             elif backend != "pallas" or not modes.ca_supported(
-                params, obstacles, n_dev, stal
+                params, scene.obstacles, n_dev, stal
             ):
                 out(f"NOTE: this run will FAIL — ca requires the "
                     f"temporal pallas slab sweep, which cannot map "
@@ -170,10 +168,10 @@ def describe_plan(scene: Scene, config) -> str:
         spc = K_ca if variant == "ca" else stal if variant == "chunked" else 1
         # Mirror the driver's debug/frame handling of multi-step programs
         # (models/driver.py run_simulation + _make_scan).
-        open_seam = False
-        if variant in ("chunked", "ca") and (-ny) % n_dev:
-            obstacles = scene.obstacles
-            open_seam = not bool(obstacles[0].all() and obstacles[-1].all())
+        open_seam = (
+            variant in ("chunked", "ca")
+            and modes.open_seam_pad(scene.obstacles, n_dev) > 0
+        )
         if config.debug and spc > 1:
             if variant == "ca":
                 if config.storage == "f32":

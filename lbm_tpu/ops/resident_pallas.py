@@ -230,6 +230,13 @@ def _blocked_chunk_kernel(
                     run_start = j
             if run_start is not None:
                 parts.append(src[k, run_start : r0 + B - cy, :])
+            if len(parts) == 1 and lattice.CX[k] != 0:
+                # Mosaic legality (CLAUDE.md): a lane-rotation input must
+                # carry the canonical layout a concatenate produces — never
+                # a raw (possibly 8-row-misaligned) offset ref slice, which
+                # a windowed interior block otherwise passes here.
+                p = parts[0]
+                parts = [p[:-1], p[-1:]]
             w = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
             return fused_pallas._roll_x(w, lattice.CX[k])
 

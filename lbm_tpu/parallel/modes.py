@@ -35,7 +35,7 @@ from jax import lax
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from lbm_tpu.core import lattice
-from lbm_tpu.ops import fused_jnp
+from lbm_tpu.ops import fused_jnp, vmem
 from lbm_tpu.params import LBMParams
 from lbm_tpu.parallel import mesh as mesh_lib
 
@@ -101,6 +101,21 @@ def lane_pad_cols(nx: int) -> int:
     if p == 1:
         p += fused_pallas.LANE
     return p
+
+
+def open_seam_pad(obstacles: np.ndarray, num_shards: int) -> int:
+    """Rows of OPEN-seam padding a scene needs on this mesh (0 when ny
+    divides the shard count, or when both seam rows are walls so blocked
+    padding can be inserted without touching the flow).
+
+    The single source of truth for the seam rule — build_sharded_program,
+    ca_supported, and models/plan.py all derive from it so the --plan
+    prediction cannot drift from the build."""
+    pad = (-obstacles.shape[0]) % num_shards
+    if not pad:
+        return 0
+    walled = bool(obstacles[0].all()) and bool(obstacles[-1].all())
+    return 0 if walled else pad
 
 
 def _pad_cols_arrays(
@@ -351,7 +366,7 @@ def sharded_pallas_supported(ny: int, nx: int, num_shards: int) -> bool:
 
     if nx % fused_pallas.LANE:
         p = lane_pad_cols(nx)
-        if fused_pallas._kernel_footprint(8, nx + p) > fused_pallas._VMEM_BUDGET:
+        if fused_pallas._kernel_footprint(8, nx + p) > vmem.scale(fused_pallas._VMEM_BUDGET):
             return False
         nx += p
     ny_pad = ny + ((-ny) % num_shards)
@@ -383,11 +398,11 @@ def ca_supported(
     pad_cols = 0
     if nx % fused_pallas.LANE:
         p = lane_pad_cols(nx)
-        if fused_pallas._kernel_footprint(8, nx + p) > fused_pallas._VMEM_BUDGET:
+        if fused_pallas._kernel_footprint(8, nx + p) > vmem.scale(fused_pallas._VMEM_BUDGET):
             return False
         pad_cols = p
     pad_rows = (-ny) % num_shards
-    if pad_rows and not (bool(obstacles[0].all()) and bool(obstacles[-1].all())):
+    if open_seam_pad(obstacles, num_shards):
         return False  # ca rejects open-seam row padding
     nloc = (ny + pad_rows) // num_shards
     if nloc < 2:
@@ -650,7 +665,7 @@ def build_sharded_program(
         p = lane_pad_cols(nx)
         # Feasibility gate: the narrowest legal block must fit VMEM at the
         # padded width; otherwise leave the grid alone (jnp slab fallback).
-        if fused_pallas._kernel_footprint(8, nx + p) <= fused_pallas._VMEM_BUDGET:
+        if fused_pallas._kernel_footprint(8, nx + p) <= vmem.scale(fused_pallas._VMEM_BUDGET):
             pad_cols = p
             obstacles, f0 = _pad_cols_arrays(params, obstacles, f0, p)
             nx += p
@@ -671,9 +686,7 @@ def build_sharded_program(
         #   then pulls its upper neighbors from a local clone of row 0, and
         #   shard 0's lower ghost is specially sourced from the true last
         #   real row — so sync/overlap remain bitwise-exact on any ny/P.
-        walled = bool(obstacles[0].all() and obstacles[-1].all())
-        if not walled:
-            open_pad = pad_rows
+        open_pad = open_seam_pad(obstacles, num_shards)
         obstacles = np.concatenate(
             [obstacles, np.ones((pad_rows, nx), dtype=bool)], axis=0
         )

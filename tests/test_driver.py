@@ -278,6 +278,39 @@ def test_debug_on_chunked_variant(capsys):
     np.testing.assert_allclose(dens, dens[0], rtol=1e-5)
 
 
+def test_chunked_frames_and_debug_match_plain_at_remainder():
+    """Review r3: a chunked run whose step count leaves a >=2-step remainder
+    must produce IDENTICAL results with --frame-interval / --debug as
+    without — the remainder runs as fresh-ghost (sync) steps in all three
+    paths, not as frozen-ghost inners.  staleness=3, steps=11 -> remainder 2;
+    the last mid frame segment crosses the sync-tail boundary."""
+    sc = _kernel_scene(32, 128, steps=11)
+    kw = dict(variant="chunked", num_devices=4, staleness=3, backend="jnp")
+    base = run_simulation(sc, RunConfig(**kw))
+    assert base.variant == "chunked-3+sync-tail2"
+    fr = run_simulation(sc, RunConfig(**kw, frame_interval=3))
+    dbg = run_simulation(sc, RunConfig(**kw, debug=True))
+    np.testing.assert_array_equal(fr.f, base.f)
+    np.testing.assert_array_equal(fr.av_vels, base.av_vels)
+    np.testing.assert_array_equal(dbg.f, base.f)
+    np.testing.assert_array_equal(dbg.av_vels, base.av_vels)
+    # Frames still land at the per-step path's capture points.
+    ref = run_simulation(sc, RunConfig(variant="sync", num_devices=4,
+                                       frame_interval=3))
+    assert fr.frames.shape == ref.frames.shape == (4, 32, 128)
+
+
+def test_chunked_i16_remainder_matches_plain():
+    """Same contract under i16 storage (quantized carry crosses the
+    exchange/tail boundary)."""
+    sc = _kernel_scene(32, 128, steps=11)
+    kw = dict(variant="chunked", num_devices=4, staleness=3, storage="i16")
+    base = run_simulation(sc, RunConfig(**kw))
+    fr = run_simulation(sc, RunConfig(**kw, frame_interval=3))
+    np.testing.assert_array_equal(fr.f, base.f)
+    np.testing.assert_array_equal(fr.av_vels, base.av_vels)
+
+
 def test_frames_chunked_interval_must_align():
     sc = _kernel_scene(32, 128, steps=24)
     with pytest.raises(ValueError, match="multiple of the 4-step chunk"):
