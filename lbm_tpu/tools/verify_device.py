@@ -9,8 +9,9 @@ correctness evidence alongside its ``BENCH_r*.json``:
 
 1. temporal K-sweep == jnp step, bitwise on fields (the DRAM-path claim);
 2. skewed temporal pair == jnp step, bitwise (the flagship/DRAM default);
-3. VMEM-resident kernel == jnp step, bitwise (the small-grid claim);
-4. a 120-step golden-prefix run against the reference's av_vels series
+3. single-step block kernel == jnp step, bitwise (the K=1 fallback path);
+4. VMEM-resident kernel == jnp step, bitwise (the small-grid claim);
+5. a 120-step golden-prefix run against the reference's av_vels series
    (the <1% contract of /root/reference/check/check.py:136-151).
 
 On CPU (no TPU attached) the bitwise claims relax to interpret-ulp
@@ -106,6 +107,43 @@ def _skew_vs_jnp(K: int = 4, n: int = 1024) -> float:
     return float(np.abs(np.asarray(f_s) - np.asarray(f_ref)).max())
 
 
+def _block_vs_jnp(steps: int = 16, n: int = 1024) -> float:
+    """Single-step block kernel (ops/fused_pallas) vs the jnp step."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from lbm_tpu.core import lattice
+    from lbm_tpu.ops import fused_jnp, fused_pallas
+    from lbm_tpu.params import LBMParams
+
+    params = LBMParams(nx=n, ny=n, max_iters=steps, reynolds_dim=10,
+                       density=0.1, accel=0.01, omega=1.85)
+    mask = np.zeros((n, n), bool)
+    mask[0, :] = mask[-1, :] = True
+    mask[:, 0] = mask[:, -1] = True
+    obst = jnp.asarray(mask)
+    f0 = jnp.asarray(lattice.equilibrium_rest(params.density, n, n))
+
+    @jax.jit
+    def ref(f):
+        return lax.scan(
+            lambda f, _: fused_jnp.fused_step_single(f, obst, params),
+            f, None, length=steps,
+        )
+
+    f_ref, _ = ref(f0)
+    step = fused_pallas.make_step(params, mask)
+
+    @jax.jit
+    def run(f):
+        return lax.scan(lambda f, _: step(f), f, None, length=steps)
+
+    f_b, _ = run(f0)
+    return float(np.abs(np.asarray(f_b) - np.asarray(f_ref)).max())
+
+
 def _resident_vs_jnp(steps: int = 64, n: int = 128) -> float:
     import numpy as np
     import jax
@@ -180,6 +218,10 @@ def run_verify() -> dict:
     report["skew_vs_jnp_maxdiff"] = d_s
     report["skew_bitwise"] = d_s <= atol
 
+    d_b = _block_vs_jnp() if on_tpu else _block_vs_jnp(steps=8, n=128)
+    report["block_vs_jnp_maxdiff"] = d_b
+    report["block_bitwise"] = d_b <= atol
+
     d_r = _resident_vs_jnp()
     report["resident_vs_jnp_maxdiff"] = d_r
     report["resident_bitwise"] = d_r <= atol
@@ -191,6 +233,7 @@ def run_verify() -> dict:
     report["ok"] = bool(
         report["temporal_bitwise"]
         and report["skew_bitwise"]
+        and report["block_bitwise"]
         and report["resident_bitwise"]
         and report["golden_prefix_ok"]
     )
