@@ -36,18 +36,9 @@ _PROBE_SLEEP_S = 120
 
 
 def _device_reachable(timeout_s: float = _PROBE_TIMEOUT_S) -> bool:
-    import subprocess
+    from lbm_tpu.utils.reach import device_reachable
 
-    try:
-        subprocess.run(
-            [sys.executable, "-c", "import jax; jax.devices()"],
-            timeout=timeout_s,
-            check=True,
-            capture_output=True,
-        )
-        return True
-    except Exception:
-        return False
+    return device_reachable(timeout_s)
 
 
 def _degraded_floor(grid: str, storage: str) -> float | None:

@@ -350,6 +350,26 @@ def cmd_speedup(args: argparse.Namespace) -> int:
 
 def cmd_info(args: argparse.Namespace) -> int:
     _apply_platform(args.platform, args.host_devices)
+    # A hung tunnel blocks jax.devices() forever — probe reachability in a
+    # bounded subprocess first so THE diagnostic command cannot hang.  Skip
+    # when the process is already pinned to the CPU backend (flag, env, or
+    # an in-process jax.config override as the test harness does).
+    import sys as _sys
+
+    on_cpu = args.platform == "cpu"
+    if not on_cpu and "jax" in _sys.modules:
+        import jax as _jax
+
+        on_cpu = (_jax.config.jax_platforms or "") == "cpu"
+    if not on_cpu:
+        from lbm_tpu.utils.reach import device_reachable
+
+        if not device_reachable(timeout_s=90.0):
+            print(
+                "device backend unreachable within 90s (tunnel hang?); "
+                "retry later or force --platform cpu"
+            )
+            return 1
     import jax
 
     print(f"jax {jax.__version__}, backend={jax.default_backend()}")
