@@ -356,15 +356,10 @@ def _make_scan(
         if debug:
             raise ValueError(
                 f"debug tracing is not supported with {program.variant} "
-                f"({spc} steps per call and no per-step decomposition"
-                + (
-                    "; i16 ca quantizes once per sweep, so the sync "
-                    "decomposition would trace a different trajectory"
-                    if program.variant.startswith("ca")
-                    else "; open-seam pad rows freeze at chunk start, which "
-                    "a per-step decomposition cannot reproduce"
-                )
-                + "); use the sync/overlap/async variants instead"
+                f"({spc} steps per call and no per-step decomposition; "
+                "i16 ca quantizes once per sweep, so the sync decomposition "
+                "would trace a different trajectory); use the "
+                "sync/overlap/async variants instead"
             )
         if frame_interval is not None and tail_step is None:
             if program.chunk_inner_step is None or program.chunk_exchange is None:

@@ -166,33 +166,19 @@ def describe_plan(scene: Scene, config) -> str:
                     f"{(ny + pad_rows) // n_dev}-row shards at depth "
                     f"K={K_ca}")
         spc = K_ca if variant == "ca" else stal if variant == "chunked" else 1
-        # Mirror the driver's debug/frame handling of multi-step programs
+        # Mirror the driver's debug handling of multi-step programs
         # (models/driver.py run_simulation + _make_scan).
-        open_seam = (
-            variant in ("chunked", "ca")
-            and modes.open_seam_pad(scene.obstacles, n_dev) > 0
-        )
-        if config.debug and spc > 1:
-            if variant == "ca":
-                if config.storage == "f32":
-                    out("debug: per-step observables via the "
-                        "bitwise-identical sync schedule (one exchange per "
-                        "step)")
-                    spc = 1
-                else:
-                    out("NOTE: this run will FAIL — --debug with ca "
-                        "requires f32 storage (i16 quantizes once per "
-                        "sweep; the per-step decomposition would trace a "
-                        "different trajectory)")
-            elif variant == "chunked" and open_seam:
-                out("NOTE: this run will FAIL — --debug with chunked "
-                    "cannot decompose open-seam-padded shards (pad rows "
-                    "freeze at chunk start)")
-        if config.frame_interval is not None and variant == "chunked" \
-                and spc > 1 and open_seam:
-            out("NOTE: this run will FAIL — frame capture with chunked "
-                "cannot decompose open-seam-padded shards (pad rows freeze "
-                "at chunk start)")
+        if config.debug and spc > 1 and variant == "ca":
+            if config.storage == "f32":
+                out("debug: per-step observables via the "
+                    "bitwise-identical sync schedule (one exchange per "
+                    "step)")
+                spc = 1
+            else:
+                out("NOTE: this run will FAIL — --debug with ca "
+                    "requires f32 storage (i16 quantizes once per "
+                    "sweep; the per-step decomposition would trace a "
+                    "different trajectory)")
 
     tail = num_steps % spc if spc > 1 else 0
     if tail and (config.frame_interval is not None or config.debug):

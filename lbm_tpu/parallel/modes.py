@@ -1093,17 +1093,27 @@ def build_sharded_program(
 
     # Chunk primitives for the driver's frame path (see StepProgram): one
     # frozen-ghost step and one ghost exchange, composing bitwise to the
-    # whole-chunk step().  Open-seam padding is excluded — its pad rows are
-    # frozen at chunk-START clone values inside step_chunked, which a
-    # stateless per-step decomposition cannot reproduce.
+    # whole-chunk step().  Open-seam pads are frozen at chunk-start clone
+    # values inside step_chunked — but they never change BETWEEN exchanges,
+    # so each inner step's input pad rows already hold those values and a
+    # stateless per-step decomposition reproduces the freeze exactly by
+    # restoring its own input's pads after the step.
     chunk_inner_step = None
     chunk_exchange = None
-    if mode == "chunked" and not open_pad:
+    if mode == "chunked":
 
         def _chunk_inner_shard(carry, obst_slab):
             f_local, ghost_lo, ghost_hi = carry
+            if open_pad:
+                is_last = lax.axis_index(ROWS) == num_shards - 1
+                pads0 = f_local[:, nloc - open_pad :, :]
             slab = jnp.concatenate([ghost_lo, f_local, ghost_hi], axis=1)
             new_f, tot_u = local_slab_step(slab, obst_slab, shard_row_offset())
+            if open_pad:
+                frozen = jnp.concatenate(
+                    [new_f[:, : nloc - open_pad, :], pads0], axis=1
+                )
+                new_f = jnp.where(is_last, frozen, new_f)
             return (new_f, ghost_lo, ghost_hi), tot_u
 
         chunk_inner_step = spmd(_chunk_inner_shard, (f_spec, f_spec, f_spec))

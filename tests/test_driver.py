@@ -311,6 +311,30 @@ def test_chunked_i16_remainder_matches_plain():
     np.testing.assert_array_equal(fr.av_vels, base.av_vels)
 
 
+def test_open_seam_chunked_frames_and_debug_match_plain():
+    """Open-seam-padded chunked shards (ny not divisible, fluid wrap rows)
+    now decompose too: frames/debug runs are bitwise-identical to the plain
+    run, remainder included."""
+    from lbm_tpu.params import LBMParams
+
+    params = LBMParams(nx=128, ny=30, max_iters=11, reynolds_dim=10,
+                       density=0.1, accel=0.005, omega=1.85)
+    r = np.random.default_rng(7)
+    mask = r.random((30, 128)) < 0.08
+    mask[0, :] = mask[-1, :] = False  # open seam
+    sc = Scene(params=params, obstacles=mask)
+    kw = dict(variant="chunked", num_devices=4, staleness=3, backend="jnp")
+    with pytest.warns(UserWarning):  # stale-row exposure advisory
+        base = run_simulation(sc, RunConfig(**kw))
+        fr = run_simulation(sc, RunConfig(**kw, frame_interval=3))
+        dbg = run_simulation(sc, RunConfig(**kw, debug=True))
+    np.testing.assert_array_equal(fr.f, base.f)
+    np.testing.assert_array_equal(fr.av_vels, base.av_vels)
+    np.testing.assert_array_equal(dbg.f, base.f)
+    np.testing.assert_array_equal(dbg.av_vels, base.av_vels)
+    assert fr.frames.shape == (4, 30, 128)  # pad rows cropped
+
+
 def test_frames_chunked_interval_must_align():
     sc = _kernel_scene(32, 128, steps=24)
     with pytest.raises(ValueError, match="multiple of the 4-step chunk"):

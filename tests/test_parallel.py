@@ -380,3 +380,38 @@ def test_async_k_queue_semantics_exact(small_params, small_obstacles, k):
         np.testing.assert_array_equal(
             got, want, err_msg=f"async-k state diverged from spec at step {t}"
         )
+
+
+def test_open_seam_chunk_primitives_compose():
+    """Chunk primitives on an open-seam-padded chunked program compose
+    bitwise to the whole-chunk step: each inner restores its input's frozen
+    pad rows, which hold the chunk-start clone values throughout."""
+    from lbm_tpu.params import LBMParams
+
+    ny, k = 16, 3
+    params = LBMParams(nx=16, ny=ny, max_iters=2 * k, reynolds_dim=10,
+                       density=0.1, accel=0.005, omega=1.85)
+    mask = np.zeros((ny, 16), dtype=bool)
+    mask[5:7, 8:10] = True  # open seam: wrap rows are fluid
+    with pytest.warns(UserWarning, match="stale"):
+        prog = modes.build_sharded_program(
+            params, mask, mesh_lib.make_row_mesh(3), mode="chunked",
+            staleness=k, backend="jnp",
+        )
+    assert prog.chunk_inner_step is not None  # open seams decompose too
+
+    step = jax.jit(prog.step)
+    st_whole = prog.init_state
+    for _ in range(2):
+        st_whole, _ = step(st_whole)
+
+    inner = jax.jit(prog.chunk_inner_step)
+    exch = jax.jit(prog.chunk_exchange)
+    st = prog.init_state
+    for _ in range(2):
+        for _j in range(k):
+            st, _ = inner(st)
+        st = exch(st)
+    np.testing.assert_array_equal(
+        np.asarray(prog.f_of(st)), np.asarray(prog.f_of(st_whole))
+    )
