@@ -131,6 +131,45 @@ def probe_skew(limits, steps, reps):
                       f"compile {compile_s:.0f} s)", flush=True)
 
 
+def probe_block(limits, steps, reps):
+    """Single-step block kernel with planner blocks scaled to the raised
+    limit (fused_pallas._plan honors vmem.scale) — does the flagship path
+    gain from fewer block boundaries?"""
+    import jax.numpy as jnp
+    from jax import lax
+
+    from lbm_tpu.core import lattice
+    from lbm_tpu.models.driver import _HoistedJit
+    from lbm_tpu.ops import fused_pallas
+
+    for n in (1024, 2048):
+        params, mask = _scene(n, steps)
+        F = fused_pallas._fold_factor(n)
+        f0 = jnp.asarray(lattice.equilibrium_rest(params.density, n, n))
+        if F > 1:
+            f0 = f0.reshape(9, n * F, n // F)
+        for mb in [16] + list(limits):
+            os.environ["LBM_VMEM_LIMIT_MB"] = str(mb)
+            _, _, _, B = fused_pallas._plan(n, n)
+            tag = f"block {n}^2 B={B} fold={F} limit={mb}M"
+            try:
+                step = fused_pallas.make_step(params, mask, folded_io=F > 1)
+
+                def run_all(f, _step=step):
+                    return lax.scan(
+                        lambda s, _: _step(s), f, None, length=steps
+                    )
+
+                run = _HoistedJit(run_all, donate=False)
+                mlups, best, compile_s = _time_run(run, f0, n, steps, reps)
+            except Exception as e:
+                print(f"{tag}: FAIL {type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:120]}", flush=True)
+                continue
+            print(f"{tag}: {mlups:8.0f} MLUPS (best {best*1e3:.1f} ms, "
+                  f"compile {compile_s:.0f} s)", flush=True)
+
+
 def main() -> int:
     limits = [int(v) for v in
               os.environ.get("LBM_VMEML_LIMITS", "32,64,100,120").split(",")]
@@ -141,6 +180,8 @@ def main() -> int:
         probe_resident(limits, steps, reps)
     if "skew" in which:
         probe_skew(limits, steps, reps)
+    if "block" in which:
+        probe_block(limits, steps, reps)
     return 0
 
 
