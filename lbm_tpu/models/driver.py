@@ -135,14 +135,18 @@ def _pick_variant(scene: Scene, config: RunConfig) -> str:
         shard_ws = 2 * 9 * nloc * params.nx * f_bytes
         # Gate at the staleness the build will actually use (an explicit
         # --staleness changes ca's exchange depth K, and deep K may not map
-        # the slab sweep) so auto never selects a ca it cannot build.
+        # the slab sweep) so auto never selects a ca it cannot build.  An
+        # explicit --backend jnp also rules ca out: the mode requires the
+        # temporal pallas slab sweep (modes.build_sharded_program raises).
         ca_stal = (
             config.staleness
             if config.staleness is not None
             else modes.STALENESS_DEFAULTS["ca"]
         )
-        if shard_ws > 80 * 2**20 and modes.ca_supported(
-            params, scene.obstacles, n_dev, ca_stal
+        if (
+            shard_ws > 80 * 2**20
+            and config.backend != "jnp"
+            and modes.ca_supported(params, scene.obstacles, n_dev, ca_stal)
         ):
             return "ca"
         stale_fraction = 2.0 * n_dev / params.ny
@@ -168,8 +172,15 @@ def _pick_variant(scene: Scene, config: RunConfig) -> str:
 
 
 def build_program(
-    scene: Scene, config: RunConfig, f0: np.ndarray | None = None
+    scene: Scene,
+    config: RunConfig,
+    f0: np.ndarray | None = None,
+    build_init: bool = True,
 ) -> modes.StepProgram:
+    """``build_init=False`` skips constructing the initial distribution
+    state (``program.init_state`` is None) — for auxiliary step-only
+    programs (sync tails / frame micro-steps) that are always lowered
+    against the main program's live state.  Sharded bare-f modes only."""
     variant = _pick_variant(scene, config)
     params, obst = scene.params, scene.obstacles
     if variant in ("jnp", "pallas"):
@@ -204,6 +215,7 @@ def build_program(
             f0=f0,
             backend=config.backend,  # None -> fast (pallas) when mappable
             storage=config.storage,
+            build_init=build_init,
         )
     raise ValueError(f"variant {variant!r} has no program builder")
 
@@ -760,23 +772,24 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
             )
 
     timer.start("init")
-    program = build_program(scene, config, f0=f_resume)
-
     # --debug with ca: ca is bitwise-equal to the sync discipline on f32
     # fields (tested, tests/test_ca.py), so per-step debug observables come
     # from the sync schedule — identical trajectory, no K-step carry in the
-    # way.  i16 ca stays rejected in _make_scan: its once-per-sweep
+    # way.  Decided from the picked variant BEFORE building, so the ca
+    # program (full sharded state + kernels) is never constructed only to
+    # be discarded.  i16 ca stays rejected in _make_scan: its once-per-sweep
     # quantization grouping differs from sync's per-step one, so the sync
     # trajectory would not be the traced run's.
-    if (
-        config.debug
-        and program.steps_per_call > 1
-        and program.variant.startswith("ca")
-        and config.storage == "f32"
-    ):
+    picked = _pick_variant(scene, config)
+    if config.debug and picked == "ca" and config.storage == "f32":
         import warnings
 
-        ca_label = program.variant
+        ca_stal = (
+            config.staleness
+            if config.staleness is not None
+            else modes.STALENESS_DEFAULTS["ca"]
+        )
+        ca_label = f"ca-{modes.ca_depth(ca_stal)}"
         warnings.warn(
             f"--debug decomposes {ca_label} into its bitwise-identical "
             "sync schedule (one exchange per step) for per-step observables",
@@ -787,6 +800,23 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
         )
         program = build_program(scene, dbg_cfg, f0=f_resume)
         program.variant = f"{ca_label}+debug-as-sync"
+    else:
+        program = build_program(scene, config, f0=f_resume)
+
+    if (
+        config.frame_interval is not None
+        and program.steps_per_call > 1
+        and program.variant.startswith("ca")
+        and config.storage != "f32"
+    ):
+        raise ValueError(
+            "--frame-interval with i16 ca is not supported: capture "
+            "segments advance through per-step sync steps whose per-step "
+            "quantization grouping differs from ca's once-per-sweep one, "
+            "so the captured run would trace a different trajectory than "
+            "the plain run; use f32 storage (or the chunked variant, whose "
+            "primitives decompose exactly)"
+        )
 
     if config.checkpoint_every:
         return _run_with_checkpoints(
@@ -839,13 +869,12 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
         tail_cfg = dataclasses.replace(
             config, variant="sync", staleness=None, temporal_k=None
         )
-        tail_program = build_program(scene, tail_cfg, f0=f_resume)
-        tail_step_fn = tail_program.step
         # The tail continues from the BULK's final state; its own init state
-        # is never executed — drop it now (a full-grid device array, hundreds
-        # of MB at 4096²+) and lower against the main state's f leaf, which
-        # is the same layout/sharding by construction.
-        tail_program.init_state = None
+        # is never executed — skip building it (a full-grid host allocation
+        # + transfer, hundreds of MB at 4096²+) and lower against the main
+        # state's f leaf, which is the same layout/sharding by construction.
+        tail_program = build_program(scene, tail_cfg, build_init=False)
+        tail_step_fn = tail_program.step
         if tail_steps:
             tail_state0 = state0[0] if isinstance(state0, tuple) else state0
             tail_exec = (
@@ -910,7 +939,7 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
 
     timer.start("collate")
     densities = None
-    if config.debug:
+    if config.debug and tot_parts:
         tot_us, densities = tot_parts[0]  # debug never segments
         densities = np.asarray(jax.device_get(densities), dtype=np.float32)
         tot_us = np.asarray(jax.device_get(tot_us), dtype=np.float32)

@@ -181,8 +181,19 @@ def describe_plan(scene: Scene, config) -> str:
                     "different trajectory)")
 
     tail = num_steps % spc if spc > 1 else 0
-    if tail and (config.frame_interval is not None or config.debug):
-        tail = 0  # frames/debug reject multi-step programs before tailing
+    if tail and config.frame_interval is not None:
+        # The driver absorbs the remainder into the capture scan: ca runs
+        # sync micro-steps, chunked runs fresh-ghost primitive steps — both
+        # bitwise-equal to the plain run's exact sync tail.
+        out(f"tail: the last {tail} step(s) run as per-step sync steps "
+            "inside the capture scan (bitwise continuation)")
+        tail = 0
+    elif tail and config.debug:
+        # Chunked debug decomposes through the chunk primitives, remainder
+        # included (exchange-then-inner = the sync discipline).
+        out(f"tail: the last {tail} step(s) run as fresh-ghost per-step "
+            "decomposition inside the debug scan")
+        tail = 0
     if (
         config.frame_interval is not None
         and variant == "chunked"
@@ -191,6 +202,14 @@ def describe_plan(scene: Scene, config) -> str:
     ):
         out(f"NOTE: this run will FAIL — frame capture with chunked requires "
             f"--frame-interval to be a multiple of the {spc}-step chunk")
+    if (
+        config.frame_interval is not None
+        and variant == "ca"
+        and config.storage != "f32"
+    ):
+        out("NOTE: this run will FAIL — --frame-interval with ca requires "
+            "f32 storage (i16 quantizes once per sweep; the capture scan's "
+            "per-step sync steps would trace a different trajectory)")
     if tail:
         out(f"tail: {variant} advances {spc} steps per exchange; the last "
             f"{tail} step(s) run as an exact sync tail (bitwise continuation)")

@@ -619,6 +619,7 @@ def build_sharded_program(
     f0: np.ndarray | None = None,
     backend: str | None = None,
     storage: str = "f32",
+    build_init: bool = True,
 ) -> StepProgram:
     """Row-sharded step program over ``mesh`` in one of the three disciplines.
 
@@ -639,6 +640,11 @@ def build_sharded_program(
       storage: "f32" or "i16" (int16 fixed-point deviation state,
         ops/quant.py).  i16 halves both the per-shard HBM traffic and the
         halo-exchange bytes on the ICI ring; requires the pallas backend.
+      build_init: False skips constructing the initial distribution state
+        (``init_state`` is None; no host allocation or device transfer) —
+        for auxiliary step-only programs the driver lowers against an
+        existing live state.  Only the bare-f modes (sync/overlap/ca)
+        support this; the ghost-carrying modes derive their carry from f0.
     """
     ny, nx = obstacles.shape
     num_shards = mesh.shape[ROWS]
@@ -737,7 +743,12 @@ def build_sharded_program(
             )
 
     if f0 is None:
-        f0 = lattice.equilibrium_rest(params.density, ny, nx)
+        f0 = lattice.equilibrium_rest(params.density, ny, nx) if build_init else None
+    if not build_init and mode not in ("sync", "overlap", "ca"):
+        raise ValueError(
+            f"build_init=False requires a bare-f mode, got {mode!r} "
+            "(ghost-carrying modes derive their carry from the init state)"
+        )
     tot_cells = int(obstacles.size - np.count_nonzero(obstacles))
     fwd, bwd = mesh_lib.ring_perms(num_shards)
 
@@ -764,12 +775,14 @@ def build_sharded_program(
         obst_slabs = jax.device_put(
             jnp.asarray(slabs_host), NamedSharding(mesh, P(ROWS, None, None))
         )
-    f_init = jnp.asarray(f0, dtype=jnp.float32)
-    if storage == "i16":
-        from lbm_tpu.ops import quant
+    f_init = None
+    if f0 is not None:
+        f_init = jnp.asarray(f0, dtype=jnp.float32)
+        if storage == "i16":
+            from lbm_tpu.ops import quant
 
-        f_init = quant.quantize(f_init, float(params.density))
-    f_init = jax.device_put(f_init, f_sharding)
+            f_init = quant.quantize(f_init, float(params.density))
+        f_init = jax.device_put(f_init, f_sharding)
 
     if backend == "pallas":
         from lbm_tpu.ops import fused_pallas

@@ -36,18 +36,24 @@ def _bitwise_budget() -> tuple[str, float]:
     return platform, (0.0 if platform == "tpu" else 5e-7)
 
 
-def _temporal_vs_jnp(steps: int = 16, K: int = 8, n: int = 2048) -> float:
+def _ref_setup(n: int, steps: int, accel: float = 0.01):
+    """Shared probe scaffold: closed-box scene of side ``n`` plus the
+    jnp-reference result after ``steps`` — (params, mask, f0, f_ref).
+
+    Every kernel probe compares against this one recipe so the probes
+    cannot silently diverge from each other.
+    """
     import numpy as np
     import jax
     import jax.numpy as jnp
     from jax import lax
 
     from lbm_tpu.core import lattice
-    from lbm_tpu.ops import fused_jnp, temporal_pallas
+    from lbm_tpu.ops import fused_jnp
     from lbm_tpu.params import LBMParams
 
     params = LBMParams(nx=n, ny=n, max_iters=steps, reynolds_dim=10,
-                       density=0.1, accel=0.01, omega=1.85)
+                       density=0.1, accel=accel, omega=1.85)
     mask = np.zeros((n, n), bool)
     mask[0, :] = mask[-1, :] = True
     mask[:, 0] = mask[:, -1] = True
@@ -62,6 +68,23 @@ def _temporal_vs_jnp(steps: int = 16, K: int = 8, n: int = 2048) -> float:
         )
 
     f_ref, _ = ref(f0)
+    return params, mask, f0, f_ref
+
+
+def _maxdiff(a, b) -> float:
+    import numpy as np
+
+    return float(np.abs(np.asarray(a) - np.asarray(b)).max())
+
+
+def _temporal_vs_jnp(steps: int = 16, K: int = 8, n: int = 2048) -> float:
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from lbm_tpu.ops import temporal_pallas
+
+    params, mask, f0, f_ref = _ref_setup(n, steps)
     fold = 2 if n % 2048 == 0 else 1
     run = jax.jit(temporal_pallas.make_run_all(
         params, mask, steps, K, folded_io=fold > 1))
@@ -70,70 +93,29 @@ def _temporal_vs_jnp(steps: int = 16, K: int = 8, n: int = 2048) -> float:
         if fold > 1 else f0
     )
     f_t, _ = run(ft0)
-    return float(np.abs(
-        np.asarray(f_t).reshape(9, n, n) - np.asarray(f_ref)
-    ).max())
+    return _maxdiff(np.asarray(f_t).reshape(9, n, n), f_ref)
 
 
 def _skew_vs_jnp(K: int = 4, n: int = 1024) -> float:
     """One forward/reverse skewed pair (2K steps) vs 2K jnp steps."""
-    import numpy as np
     import jax
-    import jax.numpy as jnp
-    from jax import lax
 
-    from lbm_tpu.core import lattice
-    from lbm_tpu.ops import fused_jnp, skew_pallas
-    from lbm_tpu.params import LBMParams
+    from lbm_tpu.ops import skew_pallas
 
-    params = LBMParams(nx=n, ny=n, max_iters=2 * K, reynolds_dim=10,
-                       density=0.1, accel=0.01, omega=1.85)
-    mask = np.zeros((n, n), bool)
-    mask[0, :] = mask[-1, :] = True
-    mask[:, 0] = mask[:, -1] = True
-    obst = jnp.asarray(mask)
-    f0 = jnp.asarray(lattice.equilibrium_rest(params.density, n, n))
-
-    @jax.jit
-    def ref(f):
-        return lax.scan(
-            lambda f, _: fused_jnp.fused_step_single(f, obst, params),
-            f, None, length=2 * K,
-        )
-
-    f_ref, _ = ref(f0)
+    params, mask, f0, f_ref = _ref_setup(n, 2 * K)
     pair = jax.jit(skew_pallas.make_pair(params, mask, K))
     f_s, _ = pair(f0)
-    return float(np.abs(np.asarray(f_s) - np.asarray(f_ref)).max())
+    return _maxdiff(f_s, f_ref)
 
 
 def _block_vs_jnp(steps: int = 16, n: int = 1024) -> float:
     """Single-step block kernel (ops/fused_pallas) vs the jnp step."""
-    import numpy as np
     import jax
-    import jax.numpy as jnp
     from jax import lax
 
-    from lbm_tpu.core import lattice
-    from lbm_tpu.ops import fused_jnp, fused_pallas
-    from lbm_tpu.params import LBMParams
+    from lbm_tpu.ops import fused_pallas
 
-    params = LBMParams(nx=n, ny=n, max_iters=steps, reynolds_dim=10,
-                       density=0.1, accel=0.01, omega=1.85)
-    mask = np.zeros((n, n), bool)
-    mask[0, :] = mask[-1, :] = True
-    mask[:, 0] = mask[:, -1] = True
-    obst = jnp.asarray(mask)
-    f0 = jnp.asarray(lattice.equilibrium_rest(params.density, n, n))
-
-    @jax.jit
-    def ref(f):
-        return lax.scan(
-            lambda f, _: fused_jnp.fused_step_single(f, obst, params),
-            f, None, length=steps,
-        )
-
-    f_ref, _ = ref(f0)
+    params, mask, f0, f_ref = _ref_setup(n, steps)
     step = fused_pallas.make_step(params, mask)
 
     @jax.jit
@@ -141,38 +123,18 @@ def _block_vs_jnp(steps: int = 16, n: int = 1024) -> float:
         return lax.scan(lambda f, _: step(f), f, None, length=steps)
 
     f_b, _ = run(f0)
-    return float(np.abs(np.asarray(f_b) - np.asarray(f_ref)).max())
+    return _maxdiff(f_b, f_ref)
 
 
 def _resident_vs_jnp(steps: int = 64, n: int = 128) -> float:
-    import numpy as np
     import jax
-    import jax.numpy as jnp
-    from jax import lax
 
-    from lbm_tpu.core import lattice
-    from lbm_tpu.ops import fused_jnp, resident_pallas
-    from lbm_tpu.params import LBMParams
+    from lbm_tpu.ops import resident_pallas
 
-    params = LBMParams(nx=n, ny=n, max_iters=steps, reynolds_dim=10,
-                       density=0.1, accel=0.005, omega=1.85)
-    mask = np.zeros((n, n), bool)
-    mask[0, :] = mask[-1, :] = True
-    mask[:, 0] = mask[:, -1] = True
-    obst = jnp.asarray(mask)
-    f0 = jnp.asarray(lattice.equilibrium_rest(params.density, n, n))
-
-    @jax.jit
-    def ref(f):
-        return lax.scan(
-            lambda f, _: fused_jnp.fused_step_single(f, obst, params),
-            f, None, length=steps,
-        )
-
-    f_ref, _ = ref(f0)
+    params, mask, f0, f_ref = _ref_setup(n, steps, accel=0.005)
     run = jax.jit(resident_pallas.make_run_all(params, mask, steps))
     f_r, _ = run(f0)
-    return float(np.abs(np.asarray(f_r) - np.asarray(f_ref)).max())
+    return _maxdiff(f_r, f_ref)
 
 
 def _golden_prefix(steps: int = 120, grid: str = "128x128") -> float:

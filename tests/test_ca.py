@@ -307,3 +307,65 @@ def test_plan_notes_ca_debug(ca_scene):
         storage="i16",
     ))
     assert "will FAIL" in plan16 and "i16" in plan16
+
+
+def test_auto_with_jnp_backend_never_picks_ca():
+    """An explicit --backend jnp rules ca out of the auto policy (ca needs
+    the temporal pallas slab sweep; picking it would fail the build)."""
+    from lbm_tpu.io.scene import Scene
+    from lbm_tpu.models.driver import _pick_variant, build_program
+
+    params = LBMParams(
+        nx=2048, ny=8192, max_iters=4, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    mask = np.zeros((8192, 2048), dtype=bool)
+    mask[0, :] = mask[-1, :] = True
+    scene = Scene(params=params, obstacles=mask)
+    # Same DRAM-bound scene that auto-picks ca with the default backend...
+    assert _pick_variant(scene, RunConfig(num_devices=4)) == "ca"
+    # ...must fall back to a jnp-buildable discipline with --backend jnp.
+    cfg = RunConfig(num_devices=4, backend="jnp")
+    picked = _pick_variant(scene, cfg)
+    assert picked in ("async", "overlap")
+    # And the pick must actually build (this raised before the fix).
+    prog = build_program(scene, cfg)
+    assert prog.backend == "jnp"
+
+
+def test_frames_i16_ca_rejected(ca_scene):
+    """i16 ca frame capture would advance through per-step-quantized sync
+    steps — a different trajectory than the plain run; rejected, and the
+    plan predicts the failure."""
+    params, mask = ca_scene
+    from lbm_tpu.io.scene import Scene
+    from lbm_tpu.models.plan import describe_plan
+
+    scene = Scene(params=params, obstacles=mask)
+    cfg = RunConfig(
+        variant="ca", num_devices=4, staleness=4, num_steps=8,
+        storage="i16", frame_interval=4,
+    )
+    with pytest.raises(ValueError, match="i16 ca"):
+        run_simulation(scene, cfg)
+    plan = describe_plan(scene, cfg)
+    assert "will FAIL" in plan and "f32 storage" in plan
+
+
+def test_build_init_false_skips_init_state(ca_scene, mesh4):
+    """Auxiliary step-only programs skip the init-state allocation."""
+    params, mask = ca_scene
+    prog = modes.build_sharded_program(
+        params, mask, mesh4, mode="sync", build_init=False
+    )
+    assert prog.init_state is None
+    # Its step still works when lowered against a live state.
+    full = modes.build_sharded_program(params, mask, mesh4, mode="sync")
+    f1_aux, _ = jax.jit(prog.step)(full.init_state)
+    f1_full, _ = jax.jit(full.step)(full.init_state)
+    np.testing.assert_array_equal(np.asarray(f1_aux), np.asarray(f1_full))
+    # Ghost-carrying modes cannot skip the init state.
+    with pytest.raises(ValueError, match="bare-f"):
+        modes.build_sharded_program(
+            params, mask, mesh4, mode="chunked", build_init=False
+        )

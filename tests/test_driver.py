@@ -51,6 +51,15 @@ def test_zero_steps_returns_empty_series(scene):
     np.testing.assert_array_equal(result.f, f0)
 
 
+def test_zero_steps_with_debug(scene):
+    # --debug at num_steps=0: nothing to observe, but no crash either
+    # (the debug collate used to index an empty segment list).
+    result = run_simulation(
+        scene, RunConfig(variant="jnp", num_steps=0, debug=True)
+    )
+    assert result.av_vels.shape == (0,)
+
+
 def test_driver_serial_variant(scene):
     result = run_simulation(scene, RunConfig(variant="serial"))
     f_o, av_o = oracle.run(scene.params, scene.obstacles)
