@@ -168,11 +168,19 @@ def temporal_impl_choice(
 
     Shared by the driver dispatch and ``--plan`` so the printed plan cannot
     drift from the executed one.  ``LBM_TEMPORAL_IMPL`` forces an impl
-    (``skew`` / ``trapezoid``); auto prefers the skewed pair — it won or
-    tied the trapezoid at every measured grid (same-session raw sweeps,
-    BENCHMARKS.md round 3: 4096^2 f32 K=4 19.3k vs 12.3k; 2048^2 K=4
-    16.2k vs 13.4k; 512^2 K=4 13.7k vs the 12.7k trapezoid best) — with
-    the trapezoid as fallback where the pair cannot map."""
+    (``skew`` / ``trapezoid``).  Auto, from same-session raw sweeps
+    (BENCHMARKS.md round 3):
+
+    - f32 prefers the skewed pair — it won or tied the trapezoid at every
+      measured grid (4096^2 K=4 19.3k vs 12.3k; 2048^2 K=4 16.2k vs
+      13.4k; 512^2 K=4 13.7k vs the 12.7k trapezoid best);
+    - i16 prefers the TRAPEZOID below ~256 MiB working set (1024^2 K=4
+      16.4k vs the pair's 15.0k same-session; 2048^2 K=8 19.2k vs
+      16.1k): with traffic already halved the pair's carried inter-block
+      rows cost more than the trapezoid's ghost fetch.  Above that the
+      pair wins again (4096^2 i16 K=8 17.2k vs 16.4k).
+
+    The other impl is the fallback where the preferred one cannot map."""
     import os
 
     from lbm_tpu.ops import skew_pallas, temporal_pallas
@@ -184,6 +192,11 @@ def temporal_impl_choice(
         return "trapezoid" if trap_ok else None
     if impl == "skew":
         return "skew" if skew_ok else None
+    if storage == "i16":
+        f_bytes = 2
+        working_set = 2 * 9 * params.ny * params.nx * f_bytes
+        if working_set <= 256 * 1024 * 1024 and trap_ok:
+            return "trapezoid"
     if skew_ok:
         return "skew"
     if trap_ok:

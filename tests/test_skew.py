@@ -184,6 +184,15 @@ def test_impl_choice_policy(monkeypatch):
     # only under i16's halved buffers; under f32 neither maps.
     assert modes.temporal_impl_choice(wide, 16, storage="i16") == "skew"
     assert modes.temporal_impl_choice(wide, 16, storage="f32") is None
+    # i16 below ~256 MiB working set prefers the trapezoid (1024^2 K=4:
+    # 16.4k vs the pair's 15.0k same-session; 2048^2 K=8: 19.2k vs 16.1k),
+    # and flips back to the pair at DRAM scale (4096^2 i16: 17.2k vs 16.4k).
+    mid = params.replace(nx=1024, ny=1024)
+    assert modes.temporal_impl_choice(mid, 4, storage="i16") == "trapezoid"
+    assert modes.temporal_impl_choice(mid, 4, storage="f32") == "skew"
+    big = params.replace(nx=2048, ny=2048)
+    assert modes.temporal_impl_choice(big, 8, storage="i16") == "trapezoid"
+    assert modes.temporal_impl_choice(wide, 8, storage="i16") == "skew"
 
 
 def test_driver_skew_path_matches_per_step(monkeypatch):
