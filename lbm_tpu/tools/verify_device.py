@@ -137,7 +137,9 @@ def _resident_vs_jnp(steps: int = 64, n: int = 128) -> float:
     return _maxdiff(f_r, f_ref)
 
 
-def _golden_prefix(steps: int = 120, grid: str = "128x128") -> float:
+def _golden_prefix(
+    steps: int = 120, grid: str = "128x128", storage: str = "f32"
+) -> float:
     """Max per-step av_vels %-difference vs the reference golden prefix."""
     import numpy as np
 
@@ -148,7 +150,7 @@ def _golden_prefix(steps: int = 120, grid: str = "128x128") -> float:
         os.path.join(REFERENCE, f"dataSet/input_{grid}.params"),
         os.path.join(REFERENCE, f"dataSet/obstacles_{grid}.dat"),
     )
-    res = run_simulation(scene, RunConfig(num_steps=steps))
+    res = run_simulation(scene, RunConfig(num_steps=steps, storage=storage))
     golden = np.loadtxt(
         os.path.join(REFERENCE, f"check/{grid}.av_vels.dat"),
         usecols=1, max_rows=steps,
@@ -192,12 +194,24 @@ def run_verify() -> dict:
     report["golden_prefix_max_pct"] = pct
     report["golden_prefix_ok"] = pct < 1.0
 
+    # i16 storage rides the same golden contract (documented lossy mode,
+    # <=0.1% measured full-length deviation): record its prefix alongside
+    # the f32 one since the headline bench may report an i16 rate.
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # 128² i16 advisory (resident faster)
+        pct16 = _golden_prefix(steps=120 if on_tpu else 24, storage="i16")
+    report["golden_prefix_i16_max_pct"] = pct16
+    report["golden_prefix_i16_ok"] = pct16 < 1.0
+
     report["ok"] = bool(
         report["temporal_bitwise"]
         and report["skew_bitwise"]
         and report["block_bitwise"]
         and report["resident_bitwise"]
         and report["golden_prefix_ok"]
+        and report["golden_prefix_i16_ok"]
     )
     return report
 
