@@ -196,3 +196,24 @@ def test_lane_padded_temporal_path():
     res_j = run_simulation(scene, RunConfig(variant="jnp"))
     np.testing.assert_allclose(res_t.f, res_j.f, atol=5e-7)
     np.testing.assert_allclose(res_t.av_vels, res_j.av_vels, rtol=1e-4)
+
+
+def test_pick_k_policy():
+    """The depth heuristic mirrors the measured tables in BENCHMARKS.md."""
+    from lbm_tpu.ops import temporal_pallas
+    from lbm_tpu.params import LBMParams
+
+    def p(n, nx=None):
+        return LBMParams(nx=nx or n, ny=n, max_iters=1, reynolds_dim=10,
+                         density=0.1, accel=0.01, omega=1.85)
+
+    # DRAM-bound f32: K=8 at fold<=2, K=4 at fold 4.
+    assert temporal_pallas.pick_k(p(2048)) == 8
+    assert temporal_pallas.pick_k(p(4096)) == 4
+    # Fold >= 8 disables temporal blocking entirely (measured collapse:
+    # 8192^2 skew K=4 154 MLUPS vs single-step 1966, same session).
+    assert temporal_pallas.pick_k(p(8192)) == 1
+    assert temporal_pallas.pick_k(p(8192), storage="i16") == 1
+    # Cached i16 keeps its own table (1024^2 K=4, 768^2 K=2).
+    assert temporal_pallas.pick_k(p(1024), storage="i16") == 4
+    assert temporal_pallas.pick_k(p(768), storage="i16") == 2
