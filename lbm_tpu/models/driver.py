@@ -72,6 +72,15 @@ class RunConfig:
     # K timesteps advance per HBM sweep (ops/temporal_pallas.py).  None =
     # auto (size heuristic), 1 = disable, >=2 = force a depth.
     temporal_k: int | None = None
+    # Warm each compiled executable with one discarded execution inside the
+    # init bracket: the FIRST dispatch of a freshly compiled program pays a
+    # one-time load (measured 886 ms vs 241 ms steady-state for the 1024²
+    # resident executable over the axon tunnel), which belongs to init like
+    # compile does — the reference's binary is fully loaded before its
+    # timed loop starts.  Skipped automatically for donating, debug, and
+    # frame-capture runs (their single whole-run executable would execute
+    # twice).
+    warmup: bool = True
 
 
 @dataclasses.dataclass
@@ -406,13 +415,17 @@ def _make_scan(
                 stacklevel=3,
             )
         if program.make_run_all is not None and not debug:
+            # The hook may decline a step count it cannot compile (None —
+            # e.g. a 1-step blocked-resident launch); fall through to the
+            # bitwise-identical per-step scan then.
             run_all = program.make_run_all(num_steps)
+            if run_all is not None:
 
-            def run(state):
-                state, tot_us = run_all(state)
-                return state, tot_us, None
+                def run(state):
+                    state, tot_us = run_all(state)
+                    return state, tot_us, None
 
-            return _HoistedJit(run, donate)
+                return _HoistedJit(run, donate)
 
         def body(state, _):
             state, tot_u = step(state)
@@ -498,7 +511,12 @@ def _make_scan(
             (``start``: global step position at entry — chunked programs
             derive the in-chunk phase and the sync-tail boundary from it)."""
             if program.make_run_all is not None:
-                return program.make_run_all(n)
+                ra = program.make_run_all(n)
+                if ra is not None:
+                    return ra
+                # Hook declined this step count (e.g. a 1-step advance on
+                # the blocked-resident path): fall through to the per-step
+                # scan below — bitwise-identical fields.
             if use_chunk_parts:
 
                 def adv(state):
@@ -905,6 +923,23 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
         }
     else:
         compiled = {}
+    if (
+        config.warmup
+        and not config.donate
+        and not config.debug
+        and config.frame_interval is None
+        and jax.default_backend() != "cpu"  # interpret pays no program load
+    ):
+        # One discarded execution per executable: the first dispatch of a
+        # freshly compiled program pays a one-time load (RunConfig.warmup),
+        # which belongs in the init bracket with the compile.  Donating
+        # runs would consume state0; debug/frames runs hold one whole-run
+        # executable (a discarded execution would double them) — skipped.
+        warm_outs = [exe(state0)[1] for exe in compiled.values()]
+        if tail_exec is not None:
+            warm_outs.append(tail_exec(tail_state_of(state0))[1])
+        for w in warm_outs:
+            jax.device_get(jax.tree.leaves(w)[-1])
     timer.stop("init")
 
     def _execute():

@@ -35,6 +35,22 @@ def _single_device_lines(out, params, config):
             f"(whole state on-chip, {resident_pallas.DEFAULT_CHUNK} "
             "steps per launch)")
         return
+    elif (
+        config.storage == "f32"
+        and config.temporal_k is None
+        and resident_pallas.auto_limit_mb(params) is not None
+    ):
+        mb = resident_pallas.auto_limit_mb(params)
+        kind = (
+            "monolithic"
+            if resident_pallas._fits(params.ny, params.nx, params.ny, mb)
+            else "block-tiled"
+        )
+        out(f"kernel: VMEM-resident multi-step, {kind} at a raised "
+            f"{mb} MiB scoped-VMEM limit (whole state on-chip, "
+            f"{resident_pallas.DEFAULT_CHUNK} steps per launch); "
+            "--temporal-k opts back into the streaming sweeps")
+        return
     elif not fused_pallas.supports(params):
         if config.storage != "f32":
             out("NOTE: this run will FAIL — i16 storage requires the "

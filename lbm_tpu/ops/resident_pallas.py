@@ -44,19 +44,61 @@ _VMEM_STATE_BUDGET = 14 * 1024 * 1024
 DEFAULT_CHUNK = 256
 
 
-def _fits(ny: int, nx: int, mask_rows: int) -> bool:
+def _fits(ny: int, nx: int, mask_rows: int, limit_mb: int | None = None) -> bool:
     return (
         3 * NS * ny * nx * 4 + mask_rows * nx * 4
-        <= vmem.scale(_VMEM_STATE_BUDGET)
+        <= vmem.scale(_VMEM_STATE_BUDGET, limit_mb)
     )
 
 
-def supports(params: LBMParams) -> bool:
+def supports(params: LBMParams, limit_mb: int | None = None) -> bool:
     if params.nx % LANE != 0 or params.ny % 8:
         return False
-    return _fits(params.ny, params.nx, params.ny) or _blocked_fits(
-        params.ny, params.nx
+    return _fits(params.ny, params.nx, params.ny, limit_mb) or _blocked_fits(
+        params.ny, params.nx, limit_mb
     )
+
+
+def auto_limit_mb(params: LBMParams) -> int | None:
+    """The raised scoped-VMEM limit the auto policy uses for this grid, or
+    None (default-limit behavior).
+
+    Measured ladder (round 3, scripts/exp_vmemlimit.py, one ~2x-degraded
+    session — all rates same-session-comparable):
+
+    - **120 MiB, monolithic band** (3x state + mask <= 66 MB): 768² ran
+      17.2k MLUPS vs the 15.2k best-ever skew pair (measured on a HEALTHY
+      session — the resident kernel beats the ledger best while degraded);
+      512² 12.1k vs 10.7k-session-equivalent block rates.  Compiles clean
+      at 120 MiB up to this band.
+    - **88 MiB, blocked band** (2x state + mask + temps <= 81 MB): 1024²
+      blocked-resident ran 15.8k vs the same-session block kernel's 10.7k
+      (+47%).  96 MiB and above CRASH the remote compile helper (HTTP 500)
+      at this working set — 88 is the measured ceiling.
+    - Anything larger: None (the streaming kernels' territory).
+
+    Gated to the TPU backend (the ladder is v5e-measured; CPU interpret
+    walks resident kernels cell-by-cell) and to no explicit user override
+    (LBM_VMEM_LIMIT_MB set -> the env drives every kernel instead).
+    """
+    if vmem.env_limit_set():
+        return None
+    if params.nx % LANE != 0 or params.ny % 8:
+        return None
+    if _fits(params.ny, params.nx, params.ny):
+        return None  # default limit already covers it (small grids)
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return None
+    ny, nx = params.ny, params.nx
+    mono = (3 * NS * ny + ny) * nx * 4
+    if mono <= 66 * 2**20 and _fits(ny, nx, ny, 120):
+        return 120
+    blocked = (2 * NS * ny + ny) * nx * 4 + _blocked_temp_bytes(8, nx)
+    if blocked <= 81 * 2**20 and _blocked_fits(ny, nx, 88):
+        return 88
+    return None
 
 
 def _roll2d(x: jax.Array, cy: int, cx: int) -> jax.Array:
@@ -149,22 +191,24 @@ def _blocked_temp_bytes(b: int, nx: int) -> int:
     return 32 * b * nx * 4
 
 
-def _blocked_fits(ny: int, nx: int) -> bool:
+def _blocked_fits(ny: int, nx: int, limit_mb: int | None = None) -> bool:
     """Blocked-resident feasibility: 2x state + mask + minimal-block
     temporaries inside the scaled budget.  Only active under a RAISED
     scoped-VMEM limit: at the default 16 MiB the monolithic budget already
     covers everything the chip was measured to map, and flipping grids
     between kernels without hardware measurements is not worth it."""
-    if vmem.limit_mb() == vmem.DEFAULT_LIMIT_MB:
+    if vmem.limit_mb(limit_mb) == vmem.DEFAULT_LIMIT_MB:
         return False
     state = (2 * NS * ny + ny) * nx * 4
-    return state + _blocked_temp_bytes(8, nx) <= vmem.scale(_VMEM_STATE_BUDGET)
+    return state + _blocked_temp_bytes(8, nx) <= vmem.scale(
+        _VMEM_STATE_BUDGET, limit_mb
+    )
 
 
-def _pick_block_rows(ny: int, nx: int) -> int:
+def _pick_block_rows(ny: int, nx: int, limit_mb: int | None = None) -> int:
     """Largest 8-aligned divisor of ny (capped at 256 rows) whose block
     temporaries fit the headroom the two resident state buffers leave."""
-    head = vmem.scale(_VMEM_STATE_BUDGET) - (2 * NS * ny + ny) * nx * 4
+    head = vmem.scale(_VMEM_STATE_BUDGET, limit_mb) - (2 * NS * ny + ny) * nx * 4
     best = None
     for b in range(8, min(ny, 256) + 1, 8):
         if ny % b:
@@ -279,26 +323,28 @@ def make_chunk_runner(
     chunk: int,
     interpret: bool | None = None,
     force_blocked: bool = False,
+    limit_mb: int | None = None,
 ):
     """Build ``f -> (f_after_chunk, av_sums (chunk,))``, fully on-chip.
 
     Grids beyond the monolithic kernel's temporary budget run the
-    block-tiled step variant (requires the raised scoped-VMEM limit,
-    ops/vmem.py).  ``force_blocked`` pins the blocked kernel for testing."""
+    block-tiled step variant (requires a raised scoped-VMEM limit —
+    ``limit_mb`` kernel-pinned, or LBM_VMEM_LIMIT_MB, ops/vmem.py).
+    ``force_blocked`` pins the blocked kernel for testing."""
     ny, nx = obstacles.shape
-    if not (supports(params) or force_blocked):
+    if not (supports(params, limit_mb) or force_blocked):
         raise ValueError(f"grid {ny}x{nx} does not fit the VMEM-resident kernel")
     if interpret is None:
         interpret = _use_interpret()
     w1a, w2a = lattice.accel_weights(params.density, params.accel)
-    if force_blocked or not _fits(ny, nx, ny):
+    if force_blocked or not _fits(ny, nx, ny, limit_mb):
         kernel = functools.partial(
             _blocked_chunk_kernel,
             chunk=chunk,
             ny=ny,
             block_rows=(
-                _pick_block_rows(ny, nx)
-                if not force_blocked or _blocked_fits(ny, nx)
+                _pick_block_rows(ny, nx, limit_mb)
+                if not force_blocked or _blocked_fits(ny, nx, limit_mb)
                 else 8
             ),
             omega=float(params.omega),
@@ -333,7 +379,7 @@ def make_chunk_runner(
             jax.ShapeDtypeStruct((chunk, 1), jnp.float32),
         ),
         interpret=interpret,
-        **vmem.compiler_params(),
+        **vmem.compiler_params(limit_mb),
         cost_estimate=pl.CostEstimate(
             flops=chunk * 130 * ny * nx,
             bytes_accessed=2 * NS * ny * nx * 4,
@@ -355,16 +401,28 @@ def make_run_all(
     chunk: int = DEFAULT_CHUNK,
     interpret: bool | None = None,
     force_blocked: bool = False,
+    limit_mb: int | None = None,
 ):
     """Build ``f0 -> (f_final, tot_us (num_steps,))`` running the whole loop
     as scan-of-chunks (each chunk one resident kernel launch)."""
     chunk = max(1, min(chunk, num_steps)) if num_steps else 1
+    ny, nx = obstacles.shape
+    if num_steps >= 2 and (force_blocked or not _fits(ny, nx, ny, limit_mb)):
+        # Blocked-resident compile-shape constraint (measured, round 3): a
+        # length-1 scan gets INLINED by XLA, and the inlined pallas call's
+        # full-state output tuple is then stack-allocated in scoped VMEM
+        # (observed: "allocating on stack for %closed_call" needing 109.78M
+        # against the 88M limit at 1024²), while the identical kernel under
+        # a while-loop of length >= 2 compiles and runs.  Keep n_full >= 2.
+        chunk = min(chunk, max(1, num_steps // 2))
     n_full, rem = divmod(num_steps, chunk)
     run_chunk = make_chunk_runner(
-        params, obstacles, chunk, interpret, force_blocked
+        params, obstacles, chunk, interpret, force_blocked, limit_mb
     )
     run_rem = (
-        make_chunk_runner(params, obstacles, rem, interpret, force_blocked)
+        make_chunk_runner(
+            params, obstacles, rem, interpret, force_blocked, limit_mb
+        )
         if rem
         else None
     )

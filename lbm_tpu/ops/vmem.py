@@ -24,8 +24,22 @@ import os
 DEFAULT_LIMIT_MB = 16
 
 
-def limit_mb() -> int:
-    """Active scoped-VMEM limit in MiB (>= the 16 MiB default)."""
+def env_limit_set() -> bool:
+    """Whether the user pinned a limit via LBM_VMEM_LIMIT_MB."""
+    try:
+        return int(os.environ.get("LBM_VMEM_LIMIT_MB", "0")) > DEFAULT_LIMIT_MB
+    except ValueError:
+        return False
+
+
+def limit_mb(explicit: int | None = None) -> int:
+    """Active scoped-VMEM limit in MiB (>= the 16 MiB default).
+
+    ``explicit`` lets a kernel pin its own limit (the auto raised-resident
+    regime, resident_pallas.auto_limit_mb); the env variable remains the
+    user override and callers pass explicit=None when it is set."""
+    if explicit is not None and explicit > DEFAULT_LIMIT_MB:
+        return explicit
     try:
         v = int(os.environ.get("LBM_VMEM_LIMIT_MB", "0"))
     except ValueError:
@@ -33,9 +47,9 @@ def limit_mb() -> int:
     return v if v > DEFAULT_LIMIT_MB else DEFAULT_LIMIT_MB
 
 
-def compiler_params() -> dict:
+def compiler_params(explicit: int | None = None) -> dict:
     """Extra ``pl.pallas_call`` kwargs for the active limit ({} at default)."""
-    mb = limit_mb()
+    mb = limit_mb(explicit)
     if mb == DEFAULT_LIMIT_MB:
         return {}
     from jax.experimental.pallas import tpu as pltpu
@@ -47,6 +61,6 @@ def compiler_params() -> dict:
     }
 
 
-def scale(budget_at_default: int) -> int:
+def scale(budget_at_default: int, explicit: int | None = None) -> int:
     """Scale a budget calibrated at the 16 MiB default to the active limit."""
-    return budget_at_default * limit_mb() // DEFAULT_LIMIT_MB
+    return budget_at_default * limit_mb(explicit) // DEFAULT_LIMIT_MB

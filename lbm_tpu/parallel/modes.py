@@ -319,6 +319,30 @@ def build_single_program(
                 )
 
             variant = "pallas-resident"
+        elif temporal_k is None and (
+            resident_pallas.auto_limit_mb(params) is not None
+        ):
+            # Raised-limit resident regime (measured bands, TPU only):
+            # 768² ran 17.2k MLUPS on a ~2x-degraded session vs the 15.2k
+            # best-ever skew pair; 1024² blocked-resident 15.8k vs the
+            # same-session block kernel's 10.7k (+47%).  See
+            # resident_pallas.auto_limit_mb for the compile-safe ladder.
+            # An explicit --temporal-k opts back into the streaming sweeps.
+            _res_mb = resident_pallas.auto_limit_mb(params)
+
+            def make_run_all(num_steps, _mb=_res_mb):
+                if num_steps < 2:
+                    # A 1-step blocked-resident launch is a length-1 scan,
+                    # whose inlined pallas output stack-allocates in VMEM
+                    # and OOMs the raised limit (see resident_pallas
+                    # make_run_all) — the caller falls back to the
+                    # bitwise-identical per-step block kernel.
+                    return None
+                return resident_pallas.make_run_all(
+                    params, np.asarray(obstacles), num_steps, limit_mb=_mb
+                )
+
+            variant = "pallas-resident"
         if fused_pallas.supports(params):
             if make_run_all is None:
                 # Grids too big for the resident kernel: K timesteps per

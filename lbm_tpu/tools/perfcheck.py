@@ -19,12 +19,16 @@ import sys
 # exercise skew at pick_k's depth for that grid.
 CHECKS = [
     ("128x128", "f32", 20000, 5500, "VMEM-resident kernel"),
-    ("1024x1024", "f32", 4000, 7500, "skewed temporal pair K=4 (flagship)"),
-    ("512x512", "f32", 4000, 6000, "skewed temporal pair K=4 (cached)"),
+    # Raised-limit resident rows (round 3): measured 17.3k/21.0k/16.4k
+    # through the driver on a ~2x-degraded session — the resident kernel is
+    # largely insensitive to tunnel degradation, so HALF those rates is a
+    # very safe floor that still catches a fall back to the streaming path.
+    ("1024x1024", "f32", 4000, 8500, "blocked-resident @88MiB (flagship)"),
+    ("512x512", "f32", 4000, 8000, "monolithic resident @120MiB"),
     ("2048x2048", "f32", 2000, 7500, "skewed temporal pair K=8 (DRAM)"),
     ("4096x4096", "f32", 2000, 9000, "skewed temporal pair K=4 (DRAM, deep fold)"),
     ("2048x2048", "i16", 2000, 9000, "int16 storage path"),
-    ("1024x1024", "i16", 4000, 8000, "int16 temporal K=4 (flagship grid)"),
+    ("1024x1024", "i16", 4000, 8000, "int16 temporal K=4 (trapezoid)"),
 ]
 
 

@@ -137,6 +137,21 @@ def _resident_vs_jnp(steps: int = 64, n: int = 128) -> float:
     return _maxdiff(f_r, f_ref)
 
 
+def _resident_raised_vs_jnp(steps: int = 16, n: int = 1024) -> float:
+    """Blocked-resident kernel at the measured 88 MiB raised limit (the
+    flagship auto path since round 3) vs the jnp step."""
+    import jax
+
+    from lbm_tpu.ops import resident_pallas
+
+    params, mask, f0, f_ref = _ref_setup(n, steps)
+    run = jax.jit(
+        resident_pallas.make_run_all(params, mask, steps, limit_mb=88)
+    )
+    f_r, _ = run(f0)
+    return _maxdiff(f_r, f_ref)
+
+
 def _golden_prefix(
     steps: int = 120, grid: str = "128x128", storage: str = "f32"
 ) -> float:
@@ -190,6 +205,15 @@ def run_verify() -> dict:
     report["resident_vs_jnp_maxdiff"] = d_r
     report["resident_bitwise"] = d_r <= atol
 
+    if on_tpu:
+        # The flagship auto path: blocked-resident at the raised 88 MiB
+        # limit (CPU interpret would walk 1024² cell-by-cell — skip there;
+        # the blocked kernel's interpret correctness is pinned in
+        # tests/test_pallas.py at small extents via force_blocked).
+        d_rr = _resident_raised_vs_jnp()
+        report["resident_raised_vs_jnp_maxdiff"] = d_rr
+        report["resident_raised_bitwise"] = d_rr <= atol
+
     pct = _golden_prefix()
     report["golden_prefix_max_pct"] = pct
     report["golden_prefix_ok"] = pct < 1.0
@@ -210,6 +234,7 @@ def run_verify() -> dict:
         and report["skew_bitwise"]
         and report["block_bitwise"]
         and report["resident_bitwise"]
+        and report.get("resident_raised_bitwise", True)
         and report["golden_prefix_ok"]
         and report["golden_prefix_i16_ok"]
     )

@@ -65,3 +65,108 @@ def test_raised_limit_keeps_results_identical(monkeypatch):
     run = skew_pallas.make_run_all(params, mask, 4, K=2)
     f_s, _ = run(f0)
     np.testing.assert_allclose(np.asarray(f_s), f_ref, atol=5e-7)
+
+
+def _sq(n):
+    return LBMParams(nx=n, ny=n, max_iters=1, reynolds_dim=10,
+                     density=0.1, accel=0.01, omega=1.85)
+
+
+def test_auto_limit_ladder(monkeypatch):
+    """The measured raised-limit ladder (resident_pallas.auto_limit_mb):
+    120 MiB monolithic band through 768^2, 88 MiB blocked band at 1024^2,
+    None beyond; gated to TPU and to no explicit env override."""
+    import jax
+
+    from lbm_tpu.ops import resident_pallas
+
+    monkeypatch.delenv("LBM_VMEM_LIMIT_MB", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    assert resident_pallas.auto_limit_mb(_sq(128)) is None  # default covers
+    assert resident_pallas.auto_limit_mb(_sq(512)) == 120
+    assert resident_pallas.auto_limit_mb(_sq(768)) == 120
+    assert resident_pallas.auto_limit_mb(_sq(1024)) == 88
+    assert resident_pallas.auto_limit_mb(_sq(2048)) is None
+    # A non-lane-aligned width never maps the resident kernels.
+    assert resident_pallas.auto_limit_mb(_sq(1024).replace(nx=1000)) is None
+    # Explicit env override takes precedence (the env drives every kernel).
+    monkeypatch.setenv("LBM_VMEM_LIMIT_MB", "64")
+    assert resident_pallas.auto_limit_mb(_sq(1024)) is None
+    monkeypatch.delenv("LBM_VMEM_LIMIT_MB")
+    # CPU backend: interpret would walk the kernel cell-by-cell; keep off.
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert resident_pallas.auto_limit_mb(_sq(1024)) is None
+
+
+def test_explicit_limit_arg_matches_env(monkeypatch):
+    """vmem.scale/compiler_params with an explicit mb behave exactly like
+    the env-set path, and the env wins when both are given to limit_mb."""
+    monkeypatch.delenv("LBM_VMEM_LIMIT_MB", raising=False)
+    assert vmem.limit_mb(88) == 88
+    assert vmem.scale(16, 88) == 88
+    cp = vmem.compiler_params(88)
+    assert cp["compiler_params"].vmem_limit_bytes == 88 * 2**20
+    assert not vmem.env_limit_set()
+    monkeypatch.setenv("LBM_VMEM_LIMIT_MB", "32")
+    assert vmem.env_limit_set()
+    assert vmem.limit_mb() == 32
+
+
+def test_raised_resident_through_driver_planning(monkeypatch):
+    """build_single_program prefers the raised-limit resident regime in its
+    measured bands on TPU, and --temporal-k opts back into the sweeps."""
+    import jax
+
+    from lbm_tpu.parallel import modes
+
+    monkeypatch.delenv("LBM_VMEM_LIMIT_MB", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    params = _sq(1024)
+    mask = np.zeros((1024, 1024), bool)
+    mask[0, :] = mask[-1, :] = True
+    # Build only consults planning functions; no kernel compiles here
+    # (make_run_all is a lazy hook).
+    prog = modes.build_single_program(params, mask, backend="pallas")
+    assert prog.variant == "pallas-resident"
+    assert prog.make_run_all is not None
+    prog_k = modes.build_single_program(
+        params, mask, backend="pallas", temporal_k=4
+    )
+    assert prog_k.variant == "pallas"
+
+
+def test_raised_resident_hook_declines_one_step(monkeypatch):
+    """A 1-step blocked-resident launch is a length-1 scan whose inlined
+    pallas output stack-allocates in VMEM (measured OOM at 1024²/88MiB);
+    the hook declines and the driver falls back to the per-step kernel."""
+    import jax
+
+    from lbm_tpu.parallel import modes
+
+    monkeypatch.delenv("LBM_VMEM_LIMIT_MB", raising=False)
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    params = _sq(1024)
+    mask = np.zeros((1024, 1024), bool)
+    mask[0, :] = mask[-1, :] = True
+    prog = modes.build_single_program(params, mask, backend="pallas")
+    assert prog.variant == "pallas-resident"
+    assert prog.make_run_all(1) is None
+    assert prog.make_run_all(2) is not None  # lazy hook; nothing compiles
+
+
+def test_driver_falls_back_when_run_all_hook_declines():
+    """_make_scan uses the per-step path when make_run_all returns None."""
+    from lbm_tpu.models import driver
+    from lbm_tpu.parallel import modes
+
+    params = _sq(16)
+    mask = np.zeros((16, 16), bool)
+    mask[0, :] = mask[-1, :] = True
+    prog = modes.build_single_program(params, mask, backend="jnp")
+    ref = driver._make_scan(prog, 3, None, False)(prog.init_state)
+
+    declined = modes.build_single_program(params, mask, backend="jnp")
+    declined.make_run_all = lambda n: None
+    got = driver._make_scan(declined, 3, None, False)(declined.init_state)
+    np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
+    np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
