@@ -207,7 +207,16 @@ def _blocked_fits(ny: int, nx: int, limit_mb: int | None = None) -> bool:
 
 def _pick_block_rows(ny: int, nx: int, limit_mb: int | None = None) -> int:
     """Largest 8-aligned divisor of ny (capped at 256 rows) whose block
-    temporaries fit the headroom the two resident state buffers leave."""
+    temporaries fit the headroom the two resident state buffers leave.
+
+    Compile-verified override: at the 88 MiB blocked band (1024²-class,
+    ~80 MB state — the only band auto_limit_mb sends here) B=16 fits the
+    real Mosaic stack and runs ~4% faster than B=8 (16.6k vs 15.9k raw,
+    round 3), while B=32 needs 98.4M and fails.  The analytic temp model
+    under-predicts live temporaries ~4x (≈135 rows per block row vs the
+    modeled 32), so trust the verified entry over the model there."""
+    if vmem.limit_mb(limit_mb) == 88 and ny % 16 == 0:
+        return 16
     head = vmem.scale(_VMEM_STATE_BUDGET, limit_mb) - (2 * NS * ny + ny) * nx * 4
     best = None
     for b in range(8, min(ny, 256) + 1, 8):
