@@ -484,15 +484,18 @@ def _i16_single_program(
         )
     from lbm_tpu.ops import quant, resident_pallas
 
-    if resident_pallas.supports(params):
+    if resident_pallas.supports(params) or (
+        resident_pallas.auto_limit_mb(params) is not None
+    ):
         import warnings
 
         warnings.warn(
-            f"storage 'i16' runs the per-step block kernel, but this "
-            f"{params.ny}x{params.nx} grid fits the VMEM-resident f32 "
-            "kernel, which is typically faster (i16 pays off from ~1024^2 "
-            "up, where its temporal K=4 sweep beats f32 — measured 16.4k "
-            "vs 12.1k same-session); consider dropping --storage i16",
+            f"storage 'i16' runs the streaming kernels, but this "
+            f"{params.ny}x{params.nx} grid maps the VMEM-resident f32 "
+            "kernel, which is faster (1024^2: f32 blocked-resident 18.3k "
+            "MLUPS vs i16 temporal 16.4k; i16's single-chip win is the "
+            "DRAM regime, e.g. 2048^2 19.2k vs 16.4k f32); consider "
+            "dropping --storage i16",
             stacklevel=4,
         )
 
