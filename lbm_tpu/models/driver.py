@@ -74,12 +74,12 @@ class RunConfig:
     temporal_k: int | None = None
     # Warm each compiled executable with one discarded execution inside the
     # init bracket: the FIRST dispatch of a freshly compiled program pays a
-    # one-time load (measured 886 ms vs 241 ms steady-state for the 1024²
-    # resident executable over the axon tunnel), which belongs to init like
-    # compile does — the reference's binary is fully loaded before its
-    # timed loop starts.  Skipped automatically for donating, debug, and
-    # frame-capture runs (their single whole-run executable would execute
-    # twice).
+    # one-time load (measured 886 ms vs 241 ms steady-state for the plain
+    # 1024² resident executable, and 44 s vs 0.0 s for a frames module with
+    # several embedded resident kernels, over the axon tunnel), which
+    # belongs to init like compile does — the reference's binary is fully
+    # loaded before its timed loop starts.  Skipped for donating runs
+    # (the discarded execution would consume the input buffers).
     warmup: bool = True
 
 
@@ -926,15 +926,16 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
     if (
         config.warmup
         and not config.donate
-        and not config.debug
-        and config.frame_interval is None
         and jax.default_backend() != "cpu"  # interpret pays no program load
     ):
         # One discarded execution per executable: the first dispatch of a
         # freshly compiled program pays a one-time load (RunConfig.warmup),
         # which belongs in the init bracket with the compile.  Donating
-        # runs would consume state0; debug/frames runs hold one whole-run
-        # executable (a discarded execution would double them) — skipped.
+        # runs would consume state0 — skipped.  Frames/debug runs warm
+        # their single whole-run executable too: the discarded execution
+        # costs one run of device work, while the load it absorbs was
+        # measured at 44 s for a 1024² frames module (several embedded
+        # resident-kernel instances) vs 0.0 s steady-state.
         warm_outs = [exe(state0)[1] for exe in compiled.values()]
         if tail_exec is not None:
             warm_outs.append(tail_exec(tail_state_of(state0))[1])
