@@ -35,6 +35,7 @@ from __future__ import annotations
 
 import functools
 import math
+import os
 
 import numpy as np
 
@@ -52,22 +53,40 @@ NS = lattice.NSPEEDS
 
 # Lane (x) dimension must be a multiple of the TPU lane width.
 LANE = 128
-# Wide grids are FOLDED to this lane width: a row-major (ny, F*1024) grid is
-# bit-identical in memory to (ny*F, 1024), and Mosaic's per-cell cost
-# degrades badly past 1024 lanes (measured 56 ps/cell at nx=1024 vs 240+ at
-# nx=2048).  Folding is a pure reinterpretation — no ghost columns, no data
+# Wide grids are FOLDED to a narrower lane width: a row-major (ny, F*W) grid
+# is bit-identical in memory to (ny*F, W) — no ghost columns, no data
 # movement; only the x-wrap lane must be borrowed from the fold-group
-# neighbor row (see _fold_roll_x).
+# neighbor row (see _fold_roll_x).  The default width is 1024 lanes (56
+# ps/cell vs 240+ measured at 2048 lanes for the single-step block kernel),
+# but the fold FACTOR matters more than the lane width once it exceeds 4:
+# every block pays 2F fold-ghost rows, and at F=8 the temporal kernels'
+# per-level carry (2F rows) swallows the whole VMEM window (the 8192² fold-8
+# collapse, BENCHMARKS.md).  Measured at 8192², same session: fold-8 @1024
+# lanes 4,183 MLUPS (single-step; temporal collapses) vs fold-4 @2048 lanes
+# 14,733 (skew K=4) vs fold-2 @4096 lanes 3,629 — so the auto policy picks
+# the NARROWEST width in _FOLD_WIDTHS whose factor is <= 4, falling back to
+# the width minimizing the factor.  LBM_FOLD_W pins an explicit width.
 FOLD_W = 1024
+_FOLD_WIDTHS = (1024, 2048)
 # Scoped-VMEM budget for the whole pipelined kernel (bytes), with margin
 # under the 16 MiB hardware limit.
 _VMEM_BUDGET = int(15.2 * 1024 * 1024)
 
 
 def _fold_factor(nx: int) -> int:
-    if nx > FOLD_W and nx % FOLD_W == 0:
-        return nx // FOLD_W
-    return 1
+    env = os.environ.get("LBM_FOLD_W")
+    if env:
+        w = int(env)
+        return nx // w if nx > w and nx % w == 0 else 1
+    best = 1
+    for w in _FOLD_WIDTHS:
+        if nx > w and nx % w == 0:
+            f = nx // w
+            if f <= 4:
+                return f
+            if best == 1 or f < best:
+                best = f
+    return best
 
 
 def _obst_block_rows(b: int, fold: int = 1) -> int:

@@ -637,13 +637,15 @@ def pick_k(params: LBMParams, storage: str = "f32") -> int:
     working_set = 2 * NS * params.ny * params.nx * f_bytes
     mib = 1024 * 1024
     if fused_pallas._fold_factor(params.nx) >= 8:
-        # Measured negative result (round 3, 8192², same session): the
-        # temporal kernels COLLAPSE at fold 8 — skew K=4 154 MLUPS, K=2
-        # 360, i16 K=4 230, vs the single-step block kernel's 1966 (the
-        # expected DRAM rate for that session).  At F=8 the VMEM budget
-        # forces B=16 view rows, so the per-level carry (2F=16) equals the
-        # whole window: ≥3x window amplification and 64 KB DMAs.  Until a
-        # fold-8 temporal layout is measured fast, single-step wins.
+        # Measured negative result (round 3, 8192² under the old fold-8
+        # layout, same session): the temporal kernels COLLAPSE at fold 8 —
+        # skew K=4 154 MLUPS, K=2 360, i16 K=4 230, vs the single-step
+        # block kernel's 1966 (the expected DRAM rate for that session).
+        # At F=8 the VMEM budget forces B=16 view rows, so the per-level
+        # carry (2F=16) equals the whole window: ≥3x window amplification
+        # and 64 KB DMAs.  8192² itself now auto-folds F=4 @2048 lanes
+        # (fused_pallas._fold_factor), where skew K=4 measured 14,733;
+        # this guard still protects nx >= 16384 (F=8 @2048).
         return 1
     if storage == "i16":
         if working_set > 128 * mib:

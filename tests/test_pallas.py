@@ -245,6 +245,45 @@ def test_fold3_wide_grid_matches_jnp():
     np.testing.assert_allclose(float(tp), float(tj), rtol=1e-5)
 
 
+def test_fold_width_auto_policy():
+    """The fold auto-policy prefers the narrowest width whose factor is
+    <= 4 (8192 -> F=4 @2048 lanes: 14,733 MLUPS vs 4,183 at fold-8, same
+    session — BENCHMARKS.md), falling back to the width minimizing the
+    factor (16384 -> F=8 @2048)."""
+    assert fused_pallas._fold_factor(4096) == 4   # width 1024, unchanged
+    assert fused_pallas._fold_factor(8192) == 4   # width 2048
+    assert fused_pallas._fold_factor(6144) == 3   # width 2048 (1024 -> F=6)
+    assert fused_pallas._fold_factor(16384) == 8  # min-factor fallback
+
+
+def test_fold_width_override_matches_jnp(monkeypatch):
+    """LBM_FOLD_W overrides the fold lane width for layout experiments
+    (e.g. probing fold-4 at 8192^2 instead of the collapsing fold-8,
+    BENCHMARKS.md).  nx=2048 with LBM_FOLD_W=512 -> F=4 at 512 lanes;
+    fields must still match the jnp step."""
+    from lbm_tpu.parallel import modes
+
+    monkeypatch.setenv("LBM_FOLD_W", "512")
+    params = LBMParams(nx=2048, ny=32, max_iters=4, reynolds_dim=10,
+                       density=0.1, accel=0.005, omega=1.85)
+    assert fused_pallas._fold_factor(params.nx) == 4
+    mask = np.zeros((32, 2048), dtype=bool)
+    mask[0, :] = mask[-1, :] = True
+    mask[4:6, 100:104] = True
+    mask[7, 2000:2010] = True  # asymmetry across fold boundaries
+
+    pj = modes.build_single_program(params, mask, backend="jnp")
+    pp = modes.build_single_program(params, mask, backend="pallas")
+    sj, sp = pj.init_state, pp.init_state
+    stj, stp = jax.jit(pj.step), jax.jit(pp.step)
+    for _ in range(4):
+        sj, tj = stj(sj)
+        sp, tp = stp(sp)
+    np.testing.assert_allclose(np.asarray(pp.f_of(sp)),
+                               np.asarray(pj.f_of(sj)), atol=5e-8)
+    np.testing.assert_allclose(float(tp), float(tj), rtol=1e-5)
+
+
 def test_footprint_model_monotone():
     """Block picks respect the calibrated VMEM boundary (nx=1024 -> B=64,
     nx=2048 -> B<=16, nx=4096 -> B=8), matching measured compile limits."""

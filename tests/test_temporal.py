@@ -210,10 +210,15 @@ def test_pick_k_policy():
     # DRAM-bound f32: K=8 at fold<=2, K=4 at fold 4.
     assert temporal_pallas.pick_k(p(2048)) == 8
     assert temporal_pallas.pick_k(p(4096)) == 4
-    # Fold >= 8 disables temporal blocking entirely (measured collapse:
-    # 8192^2 skew K=4 154 MLUPS vs single-step 1966, same session).
-    assert temporal_pallas.pick_k(p(8192)) == 1
-    assert temporal_pallas.pick_k(p(8192), storage="i16") == 1
+    # 8192^2 now folds to F=4 @2048 lanes (fused_pallas._fold_factor auto
+    # policy; measured 14,733 MLUPS skew K=4 vs 4,183 at the old fold-8,
+    # same session) so the temporal sweep re-engages at K=4.
+    assert temporal_pallas.pick_k(p(8192)) == 4
+    assert temporal_pallas.pick_k(p(8192), storage="i16") == 4
+    # Fold >= 8 still disables temporal blocking entirely (measured
+    # collapse: 8192^2 fold-8 skew K=4 154 MLUPS vs single-step 1966).
+    assert temporal_pallas.pick_k(p(16384)) == 1
+    assert temporal_pallas.pick_k(p(16384), storage="i16") == 1
     # Cached i16 keeps its own table (1024^2 K=4, 768^2 K=2).
     assert temporal_pallas.pick_k(p(1024), storage="i16") == 4
     assert temporal_pallas.pick_k(p(768), storage="i16") == 2
