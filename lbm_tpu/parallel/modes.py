@@ -492,10 +492,11 @@ def _i16_single_program(
         warnings.warn(
             f"storage 'i16' runs the streaming kernels, but this "
             f"{params.ny}x{params.nx} grid maps the VMEM-resident f32 "
-            "kernel, which is faster (1024^2: f32 blocked-resident 18.3k "
-            "MLUPS vs i16 temporal 16.4k; i16's single-chip win is the "
-            "DRAM regime, e.g. 2048^2 19.2k vs 16.4k f32); consider "
-            "dropping --storage i16",
+            "kernel, which is exact and at least as fast (1024^2 healthy "
+            "session: f32 blocked-resident 19.8k MLUPS vs i16 temporal "
+            "19.9k — a tie within tunnel noise; i16's clear single-chip "
+            "win is the DRAM regime, e.g. 2048^2 19.0-19.2k vs 16.7k "
+            "f32); prefer f32 here unless measuring the i16 path itself",
             stacklevel=4,
         )
 
