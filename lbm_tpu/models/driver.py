@@ -511,6 +511,17 @@ def _make_scan(
             (``start``: global step position at entry — chunked programs
             derive the in-chunk phase and the sync-tail boundary from it)."""
             if program.make_run_all is not None:
+                # The whole-run hook knows nothing about chunk phase: it is
+                # only sound from phase 0 of a single-step-per-call program.
+                # No multi-step (chunked/ca) program sets it today; if one
+                # ever does, fail loudly rather than silently advancing a
+                # mid-chunk segment on a phase-0 exchange schedule (which
+                # would break the frames≡plain bitwise contract).
+                assert spc == 1 or start == 0, (
+                    "make_run_all cannot advance a multi-step program from "
+                    f"in-chunk phase {start % spc}; route through the chunk "
+                    "primitives instead"
+                )
                 ra = program.make_run_all(n)
                 if ra is not None:
                     return ra
@@ -884,6 +895,14 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
     # whose state is the same bare f) the in-jit single-step advance for
     # inter-frame segments that are not whole chunks.
     elif spc > 1 and (tail_steps or (frames_on and not isinstance(state0, tuple))):
+        # Tuple-state multi-step programs (chunked) always expose chunk
+        # primitives and take the branch above; only bare-f programs (ca)
+        # reach the sync-program tail.  Keep that loud: the sync tail is
+        # lowered against bare f and cannot unwrap a carry tuple.
+        assert not isinstance(state0, tuple), (
+            "multi-step program carries a state tuple but exposes no chunk "
+            "primitives; the sync tail cannot advance it"
+        )
         tail_cfg = dataclasses.replace(
             config, variant="sync", staleness=None, temporal_k=None
         )
@@ -894,21 +913,11 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
         tail_program = build_program(scene, tail_cfg, build_init=False)
         tail_step_fn = tail_program.step
         if tail_steps:
-            tail_state0 = state0[0] if isinstance(state0, tuple) else state0
             tail_exec = (
                 _make_scan(tail_program, tail_steps, None, False)
-                .lower(tail_state0)
+                .lower(state0)
                 .compile()
             )
-    # ca carries bare f; chunked/async carry (f, ghosts...) — sync re-derives
-    # ghosts from f at the start of each step, so only f crosses over.
-    # The chunk-primitive tail advances the program's own (f, ghosts) carry;
-    # the sync-program tail takes bare f only.
-    tail_state_of = (
-        (lambda s: s)
-        if tail_program is None
-        else (lambda s: s[0]) if isinstance(state0, tuple) else (lambda s: s)
-    )
 
     seg_lengths = _segment_lengths(bulk, config, program) if bulk else []
     if seg_lengths is None:
@@ -931,14 +940,21 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
         # One discarded execution per executable: the first dispatch of a
         # freshly compiled program pays a one-time load (RunConfig.warmup),
         # which belongs in the init bracket with the compile.  Donating
-        # runs would consume state0 — skipped.  Frames/debug runs warm
-        # their single whole-run executable too: the discarded execution
-        # costs one run of device work, while the load it absorbs was
-        # measured at 44 s for a 1024² frames module (several embedded
-        # resident-kernel instances) vs 0.0 s steady-state.
-        warm_outs = [exe(state0)[1] for exe in compiled.values()]
+        # runs would consume state0 — skipped.  Capped at segment length:
+        # a discarded execution of a 4000-step segment is sub-second, and
+        # the load it absorbs was measured at 44 s for a 1024² frames
+        # module (several embedded resident-kernel instances) vs 0.0 s
+        # steady-state.  Frames/debug programs compile ONE whole-run
+        # executable, and for long runs a full discarded execution would
+        # cost more device time than the load it hides — those skip the
+        # warmup and amortize the one-time load over the long run itself.
+        warm_outs = [
+            exe(state0)[1]
+            for n, exe in compiled.items()
+            if n <= max(_SEGMENT_STEPS, config.segment_steps or 0)
+        ]
         if tail_exec is not None:
-            warm_outs.append(tail_exec(tail_state_of(state0))[1])
+            warm_outs.append(tail_exec(state0)[1])
         for w in warm_outs:
             jax.device_get(jax.tree.leaves(w)[-1])
     timer.stop("init")
@@ -950,7 +966,10 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
             state, tot_us, frames = compiled[n](state)
             tot_parts.append(tot_us)
         if tail_exec is not None:
-            state, tot_us, _ = tail_exec(tail_state_of(state))
+            # Every tail path advances the state shape it was lowered
+            # against: the chunk-primitive tail carries the program's own
+            # (f, ghosts) tuple, the sync tail carries ca's bare f.
+            state, tot_us, _ = tail_exec(state)
             tot_parts.append(tot_us)
         # Materialize (device->host) rather than block_until_ready: under the
         # axon tunnel block_until_ready can return before execution finishes,

@@ -76,8 +76,27 @@ _VMEM_BUDGET = int(15.2 * 1024 * 1024)
 def _fold_factor(nx: int) -> int:
     env = os.environ.get("LBM_FOLD_W")
     if env:
-        w = int(env)
-        return nx // w if nx > w and nx % w == 0 else 1
+        try:
+            w = int(env)
+        except ValueError:
+            raise ValueError(
+                f"LBM_FOLD_W={env!r} is not an integer lane width"
+            ) from None
+        if nx > w and nx % w == 0:
+            return nx // w
+        if nx > w:
+            # An inapplicable pin silently running UNFOLDED would quietly
+            # benchmark the degraded wide-lane layout (measured ~4x at
+            # 8192 lanes) — say so once instead.
+            import warnings
+
+            warnings.warn(
+                f"LBM_FOLD_W={w} does not divide nx={nx}; running unfolded "
+                f"at {nx} lanes (expect heavily degraded Mosaic rates past "
+                "1024 lanes)",
+                stacklevel=3,
+            )
+        return 1
     best = 1
     for w in _FOLD_WIDTHS:
         if nx > w and nx % w == 0:

@@ -432,12 +432,9 @@ def ca_supported(
     ny, nx = obstacles.shape
     if not sharded_pallas_supported(ny, nx, num_shards):
         return False
-    pad_cols = 0
-    if nx % fused_pallas.LANE:
-        p = lane_pad_cols(nx)
-        if fused_pallas._kernel_footprint(8, nx + p) > vmem.scale(fused_pallas._VMEM_BUDGET):
-            return False
-        pad_cols = p
+    # sharded_pallas_supported already verified the padded-width VMEM
+    # footprint — only the pad size itself is needed here.
+    pad_cols = lane_pad_cols(nx) if nx % fused_pallas.LANE else 0
     pad_rows = (-ny) % num_shards
     if open_seam_pad(obstacles, num_shards):
         return False  # ca rejects open-seam row padding
