@@ -40,9 +40,13 @@ def _single_device_lines(out, params, config):
         and config.temporal_k is None
         and resident_pallas.auto_limit_mb(params) is not None
     ):
-        mb = resident_pallas.auto_limit_mb(params)
+        mb, inplace = resident_pallas.auto_raised_plan(params)
         kind = (
-            "monolithic"
+            "in-place single-buffer (block "
+            f"{resident_pallas._pick_inplace_block_rows(params.ny, params.nx, mb)}"
+            " rows, 1x state)"
+            if inplace
+            else "monolithic"
             if resident_pallas._fits(params.ny, params.nx, params.ny, mb)
             else "block-tiled"
         )

@@ -59,22 +59,31 @@ def supports(params: LBMParams, limit_mb: int | None = None) -> bool:
     )
 
 
-def auto_limit_mb(params: LBMParams) -> int | None:
-    """The raised scoped-VMEM limit the auto policy uses for this grid, or
-    None (default-limit behavior).
+def auto_raised_plan(params: LBMParams) -> tuple[int, bool] | None:
+    """(limit_mb, inplace) for the raised-VMEM auto regime, or None
+    (default-limit behavior / streaming territory).
 
-    Measured ladder (round 3, scripts/exp_vmemlimit.py, one ~2x-degraded
-    session — all rates same-session-comparable):
+    Measured ladder (round 3, scripts/exp_vmemlimit.py + the in-place
+    session):
 
     - **120 MiB, monolithic band** (3x state + mask <= 66 MB): 768² ran
       17.2k MLUPS vs the 15.2k best-ever skew pair (measured on a HEALTHY
       session — the resident kernel beats the ledger best while degraded);
       512² 12.1k vs 10.7k-session-equivalent block rates.  Compiles clean
       at 120 MiB up to this band.
-    - **88 MiB, blocked band** (2x state + mask + temps <= 81 MB): 1024²
-      blocked-resident ran 15.8k vs the same-session block kernel's 10.7k
-      (+47%).  96 MiB and above CRASH the remote compile helper (HTTP 500)
-      at this working set — 88 is the measured ceiling.
+    - **In-place single-buffer band** (1x state + mask + temps, raw-MiB
+      model — _inplace_need_bytes): 48 MiB where it fits (1024² B=32:
+      **22.3-22.7k MLUPS**, +13% over the ping-pong blocked kernel's
+      18.3-19.8k, and far below the compile-crash zone), else 88 MiB for
+      refs up to the 81 MB verified ceiling (1280²-class).  Lower limits
+      measured FASTER at the same config (48: 22.3k, 56: 21.0-22.3k,
+      64: 21.9k, 88: 21.3k).
+    - **88 MiB, ping-pong blocked band** (2x state + mask + temps <=
+      81 MB): retained as the fallback the in-place band strictly
+      dominates (1x always fits where 2x does).  96 MiB and above CRASH
+      the remote compile helper (HTTP 500), as does exceeding ~81 MB of
+      refs at 88 (1536² in-place: 94.3 MB -> HTTP 500) — 88/81 MB is the
+      measured ceiling.
     - Anything larger: None (the streaming kernels' territory).
 
     Gated to the TPU backend (the ladder is v5e-measured; CPU interpret
@@ -94,11 +103,27 @@ def auto_limit_mb(params: LBMParams) -> int | None:
     ny, nx = params.ny, params.nx
     mono = (3 * NS * ny + ny) * nx * 4
     if mono <= 66 * 2**20 and _fits(ny, nx, ny, 120):
-        return 120
+        return 120, False
+    try:
+        if _inplace_fits(ny, nx, 48):
+            _pick_inplace_block_rows(ny, nx, 48)
+            return 48, True
+        if _inplace_need_bytes(ny, nx, 8) <= 81 * 2**20:
+            _pick_inplace_block_rows(ny, nx, 88)
+            return 88, True
+    except ValueError:
+        pass
     blocked = (2 * NS * ny + ny) * nx * 4 + _blocked_temp_bytes(8, nx)
     if blocked <= 81 * 2**20 and _blocked_fits(ny, nx, 88):
-        return 88
+        return 88, False
     return None
+
+
+def auto_limit_mb(params: LBMParams) -> int | None:
+    """The raised scoped-VMEM limit the auto policy uses (auto_raised_plan
+    without the kernel-choice bit), or None."""
+    plan = auto_raised_plan(params)
+    return plan[0] if plan else None
 
 
 def _roll2d(x: jax.Array, cy: int, cx: int) -> jax.Array:
@@ -203,6 +228,53 @@ def _blocked_fits(ny: int, nx: int, limit_mb: int | None = None) -> bool:
     return state + _blocked_temp_bytes(8, nx) <= vmem.scale(
         _VMEM_STATE_BUDGET, limit_mb
     )
+
+
+def _inplace_need_bytes(ny: int, nx: int, b: int) -> int:
+    """Scoped-VMEM need of the in-place kernel: ONE state + f32 mask + the
+    per-block temporaries + the carry/save rows.  Unlike the ping-pong
+    kernel (whose live temps exceed the analytic model ~4x), the in-place
+    kernel's compiled footprint matches this 1x model against the RAW MiB
+    limit: 1024² B=32 compiles at 48 MiB where the model predicts
+    50.32 MB vs the 50.33 MB cap (round 3, exact fit)."""
+    return (
+        (NS + 1) * ny * nx * 4
+        + _blocked_temp_bytes(b, nx)
+        + 2 * NS * nx * 4  # save0 + carry rows
+    )
+
+
+def _inplace_fits(ny: int, nx: int, limit_mb: int | None = None) -> bool:
+    """In-place blocked-resident feasibility at the RAW limit (see
+    _inplace_need_bytes).  Only active under a raised limit — at the
+    default 16 MiB the monolithic kernel owns everything that fits."""
+    lim = vmem.limit_mb(limit_mb)
+    if lim == vmem.DEFAULT_LIMIT_MB:
+        return False
+    return _inplace_need_bytes(ny, nx, 8) <= lim * 2**20
+
+
+def _pick_inplace_block_rows(ny: int, nx: int, limit_mb: int | None = None) -> int:
+    """Block height for the in-place kernel: the largest fitting 8-aligned
+    divisor of ny up to 40 rows.  Measured at 1024² (round 3, one healthy
+    session, best-of-N): B=8 21.6k, B=16 21.7-21.9k, B=32 **22.3-22.7k**,
+    B=64 21.5-21.6k, B=128 21.1k MLUPS — the curve peaks at 32; the cap
+    keeps unverified shapes near the optimum instead of maxing out VMEM."""
+    cap = vmem.limit_mb(limit_mb) * 2**20
+    best = None
+    for b in range(8, min(ny, 40) + 1, 8):
+        if ny % b:
+            continue
+        if _inplace_need_bytes(ny, nx, b) <= cap:
+            best = b
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"no row block of a {ny}x{nx} grid fits the in-place resident "
+            "VMEM headroom"
+        )
+    return best
 
 
 def _pick_block_rows(ny: int, nx: int, limit_mb: int | None = None) -> int:
@@ -322,6 +394,122 @@ def _blocked_chunk_kernel(
             fout_ref[k] = f_ref[k]
 
 
+# --- single-buffer in-place blocked-resident steps ---------------------------
+#
+# The ping-pong kernels above hold TWO full states in VMEM.  But each block's
+# step is read-then-write: every source row a block consumes is materialized
+# as a value before its output rows are stored, so the state can be updated
+# IN PLACE (one buffer, pallas_call input_output_aliases) provided the rows
+# other blocks still need after being overwritten are carried as values:
+#
+#   blocks run bottom-up, so when block j (rows [jB, jB+B)) executes, rows
+#   >= jB still hold OLD data and rows < jB hold NEW data.  Its windows span
+#   old rows [jB-1, jB+B]; the only overwritten one is jB-1 (the top row of
+#   block j-1) — carried forward as a value saved before block j-1's store.
+#   The periodic wrap needs old row ny-1 at block 0 (still old — fine) and
+#   old row 0 at block nb-1 (overwritten first) — saved once per step.
+#
+# Halving the resident state admits the flagship grid at HALF the raised
+# scoped-VMEM limit with 4x the block height (1024^2: 1x state + mask
+# = 41.9 MB, B=64 temporaries fit at 88 MiB where the ping-pong kernel's
+# 79.8 MB state capped B at 16), removes the even-chunk publish copy, and
+# steps clear of the >=96 MiB remote-compile-helper crash band.  Fields are
+# bitwise-identical to the ping-pong kernels (same stencil_math ops over
+# the same values; only the buffering differs).
+#
+# This is the resident-kernel analog of halving storage traffic (ops/quant)
+# — here it is VMEM *capacity* that halves, the resource that sets the
+# block height and therefore the per-block overhead share.
+
+
+def _inplace_blocked_kernel(
+    fin_ref,  # (9, ny, nx) VMEM in — ALIASED to f_ref below; never touched
+    obst_ref,  # (ny, nx) f32 VMEM in
+    f_ref,  # (9, ny, nx) VMEM out == the live state, updated in place
+    av_ref,  # (chunk, 1) f32 SMEM out
+    *,
+    chunk: int,
+    ny: int,
+    block_rows: int,
+    omega: float,
+    accel_row: int,
+    w1a: float,
+    w2a: float,
+):
+    del fin_ref  # aliased into f_ref; reads/writes go through one name so
+    # Mosaic sees every read-write dependency in program order
+    B = block_rows
+    nb = ny // B
+    fluid_ar = obst_ref[accel_row : accel_row + 1, :] == F32(0.0)
+    ar_mask = jnp.full((1, 1), True)
+
+    def one_step(t):
+        # Accel-adjusted driven row (pre-stream values of the OLD state).
+        planes_ar = [f_ref[k, accel_row : accel_row + 1, :] for k in range(NS)]
+        adj = stencil_math.accel_planes(
+            planes_ar, fluid_ar, ar_mask, F32(w1a), F32(w2a)
+        )
+        # Old row 0, consumed by block nb-1's wrap after block 0 overwrote it.
+        save0 = [f_ref[k, 0:1, :] for k in range(NS)]
+        carry = None  # old row r0-1 for the current block (value)
+
+        def window(k, r0, carry_k):
+            # Same assembly as the ping-pong kernel, with two extra
+            # substitutions: row r0-1 comes from the carry (overwritten by
+            # the previous block) and wrap row ny->0 from save0.  The accel
+            # substitution keeps priority — adj IS the old driven row.
+            cy = lattice.CY[k]
+            parts = []
+            run_start = None
+            for j in range(r0 - cy, r0 + B - cy):
+                jm = j % ny
+                single = jm != j or jm == accel_row or j == r0 - 1
+                if single:
+                    if run_start is not None:
+                        parts.append(f_ref[k, run_start:j, :])
+                        run_start = None
+                    if jm == accel_row:
+                        parts.append(adj[k])
+                    elif j == ny:  # wrap above the last block: old row 0
+                        parts.append(save0[k])
+                    elif j == r0 - 1 and r0 > 0:  # overwritten below-row
+                        parts.append(carry_k)
+                    else:  # j == -1 -> old row ny-1 (still old at block 0)
+                        parts.append(f_ref[k, jm : jm + 1, :])
+                elif run_start is None:
+                    run_start = j
+            if run_start is not None:
+                parts.append(f_ref[k, run_start : r0 + B - cy, :])
+            if len(parts) == 1 and lattice.CX[k] != 0:
+                p = parts[0]  # Mosaic legality: canonical layout for rotation
+                parts = [p[:-1], p[-1:]]
+            w = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+            return fused_pallas._roll_x(w, lattice.CX[k])
+
+        tot = None
+        for i in range(nb):
+            r0 = i * B
+            obst_blk = obst_ref[r0 : r0 + B, :] != F32(0.0)
+            streamed = [window(k, r0, carry[k] if carry else None)
+                        for k in range(NS)]
+            # Old top row of this block: the next block's below-row.  Read
+            # BEFORE this block's store overwrites it.
+            carry = [f_ref[k, r0 + B - 1 : r0 + B, :] for k in range(NS)]
+            out, partial = stencil_math.collide_and_av(
+                streamed, obst_blk, F32(omega)
+            )
+            for k in range(NS):
+                f_ref[k, r0 : r0 + B, :] = out[k]
+            tot = partial if tot is None else tot + partial
+        av_ref[t, 0] = tot
+
+    def body(t, _):
+        one_step(t)
+        return 0
+
+    lax.fori_loop(0, chunk, body, 0)
+
+
 def _use_interpret() -> bool:
     return jax.default_backend() == "cpu"
 
@@ -333,6 +521,8 @@ def make_chunk_runner(
     interpret: bool | None = None,
     force_blocked: bool = False,
     limit_mb: int | None = None,
+    inplace: bool = False,
+    block_rows: int | None = None,
 ):
     """Build ``f -> (f_after_chunk, av_sums (chunk,))``, fully on-chip.
 
@@ -341,12 +531,27 @@ def make_chunk_runner(
     ``limit_mb`` kernel-pinned, or LBM_VMEM_LIMIT_MB, ops/vmem.py).
     ``force_blocked`` pins the blocked kernel for testing."""
     ny, nx = obstacles.shape
-    if not (supports(params, limit_mb) or force_blocked):
+    if not (supports(params, limit_mb) or force_blocked or inplace):
         raise ValueError(f"grid {ny}x{nx} does not fit the VMEM-resident kernel")
     if interpret is None:
         interpret = _use_interpret()
     w1a, w2a = lattice.accel_weights(params.density, params.accel)
-    if force_blocked or not _fits(ny, nx, ny, limit_mb):
+    aliases = {}
+    if inplace:
+        kernel = functools.partial(
+            _inplace_blocked_kernel,
+            chunk=chunk,
+            ny=ny,
+            block_rows=block_rows or _pick_inplace_block_rows(ny, nx, limit_mb),
+            omega=float(params.omega),
+            accel_row=params.accel_row,
+            w1a=float(w1a),
+            w2a=float(w2a),
+        )
+        # Single-buffer update: the state input aliases the state output, so
+        # the launch holds ONE resident copy (1x state VMEM, no publish copy).
+        aliases = dict(input_output_aliases={0: 0})
+    elif force_blocked or not _fits(ny, nx, ny, limit_mb):
         kernel = functools.partial(
             _blocked_chunk_kernel,
             chunk=chunk,
@@ -388,6 +593,7 @@ def make_chunk_runner(
             jax.ShapeDtypeStruct((chunk, 1), jnp.float32),
         ),
         interpret=interpret,
+        **aliases,
         **vmem.compiler_params(limit_mb),
         cost_estimate=pl.CostEstimate(
             flops=chunk * 130 * ny * nx,
@@ -411,26 +617,35 @@ def make_run_all(
     interpret: bool | None = None,
     force_blocked: bool = False,
     limit_mb: int | None = None,
+    inplace: bool = False,
+    block_rows: int | None = None,
 ):
     """Build ``f0 -> (f_final, tot_us (num_steps,))`` running the whole loop
     as scan-of-chunks (each chunk one resident kernel launch)."""
     chunk = max(1, min(chunk, num_steps)) if num_steps else 1
     ny, nx = obstacles.shape
-    if num_steps >= 2 and (force_blocked or not _fits(ny, nx, ny, limit_mb)):
+    if (
+        num_steps >= 2
+        and not inplace
+        and (force_blocked or not _fits(ny, nx, ny, limit_mb))
+    ):
         # Blocked-resident compile-shape constraint (measured, round 3): a
         # length-1 scan gets INLINED by XLA, and the inlined pallas call's
         # full-state output tuple is then stack-allocated in scoped VMEM
         # (observed: "allocating on stack for %closed_call" needing 109.78M
         # against the 88M limit at 1024²), while the identical kernel under
         # a while-loop of length >= 2 compiles and runs.  Keep n_full >= 2.
+        # (The in-place kernel's aliased output is never stack-allocated.)
         chunk = min(chunk, max(1, num_steps // 2))
     n_full, rem = divmod(num_steps, chunk)
     run_chunk = make_chunk_runner(
-        params, obstacles, chunk, interpret, force_blocked, limit_mb
+        params, obstacles, chunk, interpret, force_blocked, limit_mb,
+        inplace=inplace, block_rows=block_rows,
     )
     run_rem = (
         make_chunk_runner(
-            params, obstacles, rem, interpret, force_blocked, limit_mb
+            params, obstacles, rem, interpret, force_blocked, limit_mb,
+            inplace=inplace, block_rows=block_rows,
         )
         if rem
         else None

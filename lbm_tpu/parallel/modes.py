@@ -320,26 +320,32 @@ def build_single_program(
 
             variant = "pallas-resident"
         elif temporal_k is None and (
-            resident_pallas.auto_limit_mb(params) is not None
+            resident_pallas.auto_raised_plan(params) is not None
         ):
             # Raised-limit resident regime (measured bands, TPU only):
-            # 768² ran 17.2k MLUPS on a ~2x-degraded session vs the 15.2k
-            # best-ever skew pair; 1024² blocked-resident 15.8k vs the
-            # same-session block kernel's 10.7k (+47%).  See
-            # resident_pallas.auto_limit_mb for the compile-safe ladder.
-            # An explicit --temporal-k opts back into the streaming sweeps.
-            _res_mb = resident_pallas.auto_limit_mb(params)
+            # 768² monolithic @120 MiB ran 17.2k MLUPS on a ~2x-degraded
+            # session vs the 15.2k best-ever skew pair; the 1024²-class
+            # band runs the single-buffer IN-PLACE kernel (22.3-22.7k vs
+            # the ping-pong blocked kernel's 18.3-19.8k, B=32 @48 MiB).
+            # See resident_pallas.auto_raised_plan for the compile-safe
+            # ladder.  An explicit --temporal-k opts back into the
+            # streaming sweeps.
+            _res_mb, _res_inplace = resident_pallas.auto_raised_plan(params)
 
-            def make_run_all(num_steps, _mb=_res_mb):
-                if num_steps < 2:
-                    # A 1-step blocked-resident launch is a length-1 scan,
+            def make_run_all(
+                num_steps, _mb=_res_mb, _inplace=_res_inplace
+            ):
+                if num_steps < 2 and not _inplace:
+                    # A 1-step ping-pong blocked launch is a length-1 scan,
                     # whose inlined pallas output stack-allocates in VMEM
                     # and OOMs the raised limit (see resident_pallas
                     # make_run_all) — the caller falls back to the
-                    # bitwise-identical per-step block kernel.
+                    # bitwise-identical per-step block kernel.  The
+                    # in-place kernel's aliased output has no such copy.
                     return None
                 return resident_pallas.make_run_all(
-                    params, np.asarray(obstacles), num_steps, limit_mb=_mb
+                    params, np.asarray(obstacles), num_steps,
+                    limit_mb=_mb, inplace=_inplace,
                 )
 
             variant = "pallas-resident"
@@ -489,11 +495,11 @@ def _i16_single_program(
         warnings.warn(
             f"storage 'i16' runs the streaming kernels, but this "
             f"{params.ny}x{params.nx} grid maps the VMEM-resident f32 "
-            "kernel, which is exact and at least as fast (1024^2 healthy "
-            "session: f32 blocked-resident 19.8k MLUPS vs i16 temporal "
-            "19.9k — a tie within tunnel noise; i16's clear single-chip "
-            "win is the DRAM regime, e.g. 2048^2 19.0-19.2k vs 16.7k "
-            "f32); prefer f32 here unless measuring the i16 path itself",
+            "kernel, which is exact and faster (1024^2 healthy session: "
+            "f32 in-place resident 22.0-22.7k MLUPS vs i16 temporal "
+            "19.9k; i16's single-chip win is the DRAM regime, e.g. "
+            "2048^2 19.0-19.2k vs 16.7k f32); prefer f32 here unless "
+            "measuring the i16 path itself",
             stacklevel=4,
         )
 

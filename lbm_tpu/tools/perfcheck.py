@@ -23,7 +23,10 @@ CHECKS = [
     # through the driver on a ~2x-degraded session — the resident kernel is
     # largely insensitive to tunnel degradation, so HALF those rates is a
     # very safe floor that still catches a fall back to the streaming path.
-    ("1024x1024", "f32", 4000, 8500, "blocked-resident @88MiB (flagship)"),
+    # In-place single-buffer resident (round 3): 21.0-22.7k measured, and
+    # resident kernels are largely degradation-immune — half the band's
+    # low end still cleanly separates it from the ~17k streaming fallback.
+    ("1024x1024", "f32", 4000, 10000, "in-place resident B=32 @48MiB (flagship)"),
     ("512x512", "f32", 4000, 8000, "monolithic resident @120MiB"),
     ("2048x2048", "f32", 2000, 7500, "skewed temporal pair K=8 (DRAM)"),
     ("4096x4096", "f32", 2000, 9000, "skewed temporal pair K=4 (DRAM, deep fold)"),

@@ -138,8 +138,8 @@ def _resident_vs_jnp(steps: int = 64, n: int = 128) -> float:
 
 
 def _resident_raised_vs_jnp(steps: int = 16, n: int = 1024) -> float:
-    """Blocked-resident kernel at the measured 88 MiB raised limit (the
-    flagship auto path since round 3) vs the jnp step."""
+    """Blocked-resident kernel at the measured 88 MiB raised limit vs the
+    jnp step."""
     import jax
 
     from lbm_tpu.ops import resident_pallas
@@ -147,6 +147,23 @@ def _resident_raised_vs_jnp(steps: int = 16, n: int = 1024) -> float:
     params, mask, f0, f_ref = _ref_setup(n, steps)
     run = jax.jit(
         resident_pallas.make_run_all(params, mask, steps, limit_mb=88)
+    )
+    f_r, _ = run(f0)
+    return _maxdiff(f_r, f_ref)
+
+
+def _resident_inplace_vs_jnp(steps: int = 16, n: int = 1024) -> float:
+    """In-place single-buffer resident kernel at its auto config (the
+    flagship auto path since round 3: B=32 @48 MiB) vs the jnp step."""
+    import jax
+
+    from lbm_tpu.ops import resident_pallas
+
+    params, mask, f0, f_ref = _ref_setup(n, steps)
+    run = jax.jit(
+        resident_pallas.make_run_all(
+            params, mask, steps, limit_mb=48, inplace=True
+        )
     )
     f_r, _ = run(f0)
     return _maxdiff(f_r, f_ref)
@@ -206,13 +223,16 @@ def run_verify() -> dict:
     report["resident_bitwise"] = d_r <= atol
 
     if on_tpu:
-        # The flagship auto path: blocked-resident at the raised 88 MiB
-        # limit (CPU interpret would walk 1024² cell-by-cell — skip there;
-        # the blocked kernel's interpret correctness is pinned in
-        # tests/test_pallas.py at small extents via force_blocked).
+        # Raised-limit resident kernels (CPU interpret would walk 1024²
+        # cell-by-cell — skip there; their interpret correctness is pinned
+        # in tests/test_pallas.py and tests/test_vmem.py at small extents).
         d_rr = _resident_raised_vs_jnp()
         report["resident_raised_vs_jnp_maxdiff"] = d_rr
         report["resident_raised_bitwise"] = d_rr <= atol
+        # The flagship auto path: in-place single-buffer B=32 @48 MiB.
+        d_ip = _resident_inplace_vs_jnp()
+        report["resident_inplace_vs_jnp_maxdiff"] = d_ip
+        report["resident_inplace_bitwise"] = d_ip <= atol
 
     pct = _golden_prefix()
     report["golden_prefix_max_pct"] = pct

@@ -73,9 +73,10 @@ def _sq(n):
 
 
 def test_auto_limit_ladder(monkeypatch):
-    """The measured raised-limit ladder (resident_pallas.auto_limit_mb):
-    120 MiB monolithic band through 768^2, 88 MiB blocked band at 1024^2,
-    None beyond; gated to TPU and to no explicit env override."""
+    """The measured raised-limit ladder (resident_pallas.auto_raised_plan):
+    120 MiB monolithic band through 768^2, 48 MiB in-place single-buffer
+    band at 1024^2 (B=32, round-3 measured 22.3-22.7k MLUPS), None beyond;
+    gated to TPU and to no explicit env override."""
     import jax
 
     from lbm_tpu.ops import resident_pallas
@@ -83,9 +84,14 @@ def test_auto_limit_ladder(monkeypatch):
     monkeypatch.delenv("LBM_VMEM_LIMIT_MB", raising=False)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert resident_pallas.auto_limit_mb(_sq(128)) is None  # default covers
-    assert resident_pallas.auto_limit_mb(_sq(512)) == 120
-    assert resident_pallas.auto_limit_mb(_sq(768)) == 120
-    assert resident_pallas.auto_limit_mb(_sq(1024)) == 88
+    assert resident_pallas.auto_raised_plan(_sq(512)) == (120, False)
+    assert resident_pallas.auto_raised_plan(_sq(768)) == (120, False)
+    assert resident_pallas.auto_raised_plan(_sq(1024)) == (48, True)
+    assert resident_pallas._pick_inplace_block_rows(1024, 1024, 48) == 32
+    # 1280^2-class: too big for 48 MiB but inside the 81 MB ref ceiling.
+    assert resident_pallas.auto_raised_plan(_sq(1280)) == (88, True)
+    # 1536^2: 94.3 MB of refs crashed the compile helper at 88 — streaming.
+    assert resident_pallas.auto_raised_plan(_sq(1536)) is None
     assert resident_pallas.auto_limit_mb(_sq(2048)) is None
     # A non-lane-aligned width never maps the resident kernels.
     assert resident_pallas.auto_limit_mb(_sq(1024).replace(nx=1000)) is None
@@ -135,10 +141,11 @@ def test_raised_resident_through_driver_planning(monkeypatch):
     assert prog_k.variant == "pallas"
 
 
-def test_raised_resident_hook_declines_one_step(monkeypatch):
-    """A 1-step blocked-resident launch is a length-1 scan whose inlined
-    pallas output stack-allocates in VMEM (measured OOM at 1024²/88MiB);
-    the hook declines and the driver falls back to the per-step kernel."""
+def test_raised_resident_hook_one_step(monkeypatch):
+    """The 1024² raised band runs the in-place single-buffer kernel, whose
+    aliased output is never stack-allocated — unlike the ping-pong blocked
+    kernel (length-1 scan inlining OOM'd at 88 MiB), it accepts a 1-step
+    advance rather than declining to the per-step kernel."""
     import jax
 
     from lbm_tpu.parallel import modes
@@ -150,8 +157,8 @@ def test_raised_resident_hook_declines_one_step(monkeypatch):
     mask[0, :] = mask[-1, :] = True
     prog = modes.build_single_program(params, mask, backend="pallas")
     assert prog.variant == "pallas-resident"
-    assert prog.make_run_all(1) is None
-    assert prog.make_run_all(2) is not None  # lazy hook; nothing compiles
+    assert prog.make_run_all(1) is not None  # lazy hook; nothing compiles
+    assert prog.make_run_all(2) is not None
 
 
 def test_driver_falls_back_when_run_all_hook_declines():
@@ -170,3 +177,44 @@ def test_driver_falls_back_when_run_all_hook_declines():
     got = driver._make_scan(declined, 3, None, False)(declined.init_state)
     np.testing.assert_array_equal(np.asarray(ref[0]), np.asarray(got[0]))
     np.testing.assert_array_equal(np.asarray(ref[1]), np.asarray(got[1]))
+
+
+def test_inplace_resident_matches_blocked_bitwise():
+    """The single-buffer in-place kernel (aliased state, carry rows for the
+    overwritten block boundaries) is bitwise-identical on fields to the
+    ping-pong blocked kernel, and within float-sum reordering on av (block
+    partials group identically at equal B — exact there too)."""
+    from lbm_tpu.core import lattice
+    from lbm_tpu.ops import resident_pallas
+
+    ny, nx = 32, 128
+    rng = np.random.default_rng(7)
+    mask = np.zeros((ny, nx), bool)
+    mask[0, :] = mask[-1, :] = True
+    mask[:, 0] = mask[:, -1] = True
+    mask[10:14, 40:44] = True
+    params = LBMParams(nx=nx, ny=ny, max_iters=13, reynolds_dim=10,
+                       density=0.1, accel=0.005, omega=1.85)
+    f0 = np.asarray(lattice.equilibrium_rest(params.density, ny, nx))
+    f0 = f0 * (1 + 0.01 * rng.random((9, ny, nx), dtype=np.float32))
+
+    # chunk 5 exercises the scan-of-chunks path AND a remainder chunk (13 =
+    # 2*5 + 3); B=8 matches force_blocked's block height, so even the av
+    # partial grouping is identical (bitwise av too).
+    fb, avb = resident_pallas.make_run_all(
+        params, mask, 13, chunk=5, force_blocked=True
+    )(f0)
+    fi, avi = resident_pallas.make_run_all(
+        params, mask, 13, chunk=5, inplace=True, block_rows=8
+    )(f0)
+    np.testing.assert_array_equal(np.asarray(fi), np.asarray(fb))
+    np.testing.assert_array_equal(np.asarray(avi), np.asarray(avb))
+
+    # A different block height keeps fields bitwise; av reorders (~1 ulp).
+    fi16, avi16 = resident_pallas.make_run_all(
+        params, mask, 13, chunk=5, inplace=True, block_rows=16
+    )(f0)
+    np.testing.assert_array_equal(np.asarray(fi16), np.asarray(fb))
+    np.testing.assert_allclose(
+        np.asarray(avi16), np.asarray(avb), rtol=1e-5
+    )
