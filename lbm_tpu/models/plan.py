@@ -43,7 +43,7 @@ def _single_device_lines(out, params, config):
         mb, inplace = resident_pallas.auto_raised_plan(params)
         kind = (
             "in-place single-buffer (block "
-            f"{resident_pallas._pick_inplace_block_rows(params.ny, params.nx, mb)}"
+            f"{resident_pallas._pick_inplace_block_rows(params.ny, params.nx, mb, 1 if resident_pallas._inplace_mask_i8(params.ny, params.nx, mb) else 4)}"
             " rows, 1x state)"
             if inplace
             else "monolithic"

@@ -106,10 +106,14 @@ def auto_raised_plan(params: LBMParams) -> tuple[int, bool] | None:
         return 120, False
     try:
         if _inplace_fits(ny, nx, 48):
-            _pick_inplace_block_rows(ny, nx, 48)
+            _pick_inplace_block_rows(
+                ny, nx, 48, 1 if _inplace_mask_i8(ny, nx, 48) else 4
+            )
             return 48, True
-        if _inplace_need_bytes(ny, nx, 8) <= 81 * 2**20:
-            _pick_inplace_block_rows(ny, nx, 88)
+        if _inplace_fits(ny, nx, 88):
+            _pick_inplace_block_rows(
+                ny, nx, 88, 1 if _inplace_mask_i8(ny, nx, 88) else 4
+            )
             return 88, True
     except ValueError:
         pass
@@ -230,42 +234,71 @@ def _blocked_fits(ny: int, nx: int, limit_mb: int | None = None) -> bool:
     )
 
 
-def _inplace_need_bytes(ny: int, nx: int, b: int) -> int:
-    """Scoped-VMEM need of the in-place kernel: ONE state + f32 mask + the
+def _inplace_need_bytes(ny: int, nx: int, b: int, mask_bytes: int = 4) -> int:
+    """Scoped-VMEM need of the in-place kernel: ONE state + mask + the
     per-block temporaries + the carry/save rows.  Unlike the ping-pong
     kernel (whose live temps exceed the analytic model ~4x), the in-place
     kernel's compiled footprint matches this 1x model against the RAW MiB
     limit: 1024² B=32 compiles at 48 MiB where the model predicts
     50.32 MB vs the 50.33 MB cap (round 3, exact fit)."""
     return (
-        (NS + 1) * ny * nx * 4
+        NS * ny * nx * 4
+        + ny * nx * mask_bytes
         + _blocked_temp_bytes(b, nx)
         + 2 * NS * nx * 4  # save0 + carry rows
     )
 
 
+# Measured compile-helper ceiling for the in-place kernel's total VMEM refs
+# at the 88 MiB band (round 3): 80.7 MB compiles, 87.3 MB (1536² with an
+# int8 mask) and 94.3 MB (f32 mask) both crash the remote helper with
+# HTTP 500.  Raising the limit past 88 also crashes regardless of refs.
+_INPLACE_REF_CEILING = 81 * 2**20
+
+
+def _inplace_cap(limit_mb: int | None = None) -> int:
+    return min(vmem.limit_mb(limit_mb) * 2**20, _INPLACE_REF_CEILING)
+
+
+def _inplace_mask_i8(ny: int, nx: int, limit_mb: int | None = None) -> bool:
+    """Whether the in-place kernel should store the obstacle mask as int8:
+    only when the f32 mask does not fit the capped budget but the i8 one
+    does (the i8 compare goes through an in-kernel f32 convert — the
+    direct i8 compare hits a Mosaic mask-relayout error, BENCHMARKS.md)."""
+    cap = _inplace_cap(limit_mb)
+    return (
+        _inplace_need_bytes(ny, nx, 8) > cap
+        and _inplace_need_bytes(ny, nx, 8, mask_bytes=1) <= cap
+    )
+
+
 def _inplace_fits(ny: int, nx: int, limit_mb: int | None = None) -> bool:
-    """In-place blocked-resident feasibility at the RAW limit (see
-    _inplace_need_bytes).  Only active under a raised limit — at the
-    default 16 MiB the monolithic kernel owns everything that fits."""
+    """In-place blocked-resident feasibility at the capped limit (see
+    _inplace_need_bytes; the mask drops to int8 where that is what fits).
+    Only active under a raised limit — at the default 16 MiB the
+    monolithic kernel owns everything that fits."""
     lim = vmem.limit_mb(limit_mb)
     if lim == vmem.DEFAULT_LIMIT_MB:
         return False
-    return _inplace_need_bytes(ny, nx, 8) <= lim * 2**20
+    return _inplace_need_bytes(ny, nx, 8, mask_bytes=1) <= _inplace_cap(
+        limit_mb
+    )
 
 
-def _pick_inplace_block_rows(ny: int, nx: int, limit_mb: int | None = None) -> int:
+def _pick_inplace_block_rows(
+    ny: int, nx: int, limit_mb: int | None = None, mask_bytes: int = 4
+) -> int:
     """Block height for the in-place kernel: the largest fitting 8-aligned
     divisor of ny up to 40 rows.  Measured at 1024² (round 3, one healthy
     session, best-of-N): B=8 21.6k, B=16 21.7-21.9k, B=32 **22.3-22.7k**,
     B=64 21.5-21.6k, B=128 21.1k MLUPS — the curve peaks at 32; the cap
     keeps unverified shapes near the optimum instead of maxing out VMEM."""
-    cap = vmem.limit_mb(limit_mb) * 2**20
+    cap = _inplace_cap(limit_mb)
     best = None
     for b in range(8, min(ny, 40) + 1, 8):
         if ny % b:
             continue
-        if _inplace_need_bytes(ny, nx, b) <= cap:
+        if _inplace_need_bytes(ny, nx, b, mask_bytes) <= cap:
             best = b
         else:
             break
@@ -424,7 +457,7 @@ def _blocked_chunk_kernel(
 
 def _inplace_blocked_kernel(
     fin_ref,  # (9, ny, nx) VMEM in — ALIASED to f_ref below; never touched
-    obst_ref,  # (ny, nx) f32 VMEM in
+    obst_ref,  # (ny, nx) f32 (or int8 at the capacity edge) VMEM in
     f_ref,  # (9, ny, nx) VMEM out == the live state, updated in place
     av_ref,  # (chunk, 1) f32 SMEM out
     *,
@@ -440,7 +473,14 @@ def _inplace_blocked_kernel(
     # Mosaic sees every read-write dependency in program order
     B = block_rows
     nb = ny // B
-    fluid_ar = obst_ref[accel_row : accel_row + 1, :] == F32(0.0)
+
+    def _mask_f32(rows):
+        # int8 masks (capacity-edge grids) compare through an f32 convert:
+        # the direct i8 compare hits a Mosaic mask-relayout error
+        # (BENCHMARKS.md failed-experiments ledger).
+        return rows if rows.dtype == jnp.float32 else rows.astype(jnp.float32)
+
+    fluid_ar = _mask_f32(obst_ref[accel_row : accel_row + 1, :]) == F32(0.0)
     ar_mask = jnp.full((1, 1), True)
 
     def one_step(t):
@@ -489,7 +529,7 @@ def _inplace_blocked_kernel(
         tot = None
         for i in range(nb):
             r0 = i * B
-            obst_blk = obst_ref[r0 : r0 + B, :] != F32(0.0)
+            obst_blk = _mask_f32(obst_ref[r0 : r0 + B, :]) != F32(0.0)
             streamed = [window(k, r0, carry[k] if carry else None)
                         for k in range(NS)]
             # Old top row of this block: the next block's below-row.  Read
@@ -537,12 +577,18 @@ def make_chunk_runner(
         interpret = _use_interpret()
     w1a, w2a = lattice.accel_weights(params.density, params.accel)
     aliases = {}
+    mask_dtype = jnp.float32
     if inplace:
+        if _inplace_mask_i8(ny, nx, limit_mb):
+            mask_dtype = jnp.int8
         kernel = functools.partial(
             _inplace_blocked_kernel,
             chunk=chunk,
             ny=ny,
-            block_rows=block_rows or _pick_inplace_block_rows(ny, nx, limit_mb),
+            block_rows=block_rows
+            or _pick_inplace_block_rows(
+                ny, nx, limit_mb, 1 if mask_dtype == jnp.int8 else 4
+            ),
             omega=float(params.omega),
             accel_row=params.accel_row,
             w1a=float(w1a),
@@ -576,7 +622,7 @@ def make_chunk_runner(
             w1a=float(w1a),
             w2a=float(w2a),
         )
-    obst_f = jnp.asarray(obstacles, dtype=jnp.float32)
+    obst_f = jnp.asarray(obstacles, dtype=mask_dtype)
 
     call = pl.pallas_call(
         kernel,

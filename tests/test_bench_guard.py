@@ -56,8 +56,9 @@ def _mock_backend(monkeypatch, name):
 
 
 def test_degraded_floor_lookup():
-    # 1024x1024 f32 perfcheck floor is 8500 -> degraded threshold 2125.
-    assert bench_entry._degraded_floor("1024x1024", "f32") == pytest.approx(2125.0)
+    # 1024x1024 f32 perfcheck floor is 10000 (in-place resident band) ->
+    # degraded threshold 2500.
+    assert bench_entry._degraded_floor("1024x1024", "f32") == pytest.approx(2500.0)
     assert bench_entry._degraded_floor("999x999", "f32") is None
 
 
