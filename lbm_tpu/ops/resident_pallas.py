@@ -29,7 +29,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from lbm_tpu.core import lattice
-from lbm_tpu.ops import fused_pallas, stencil_math, vmem
+from lbm_tpu.ops import fused_pallas, quant, stencil_math, vmem
 from lbm_tpu.params import LBMParams
 
 F32 = jnp.float32
@@ -59,7 +59,9 @@ def supports(params: LBMParams, limit_mb: int | None = None) -> bool:
     )
 
 
-def auto_raised_plan(params: LBMParams) -> tuple[int, bool] | None:
+def auto_raised_plan(
+    params: LBMParams, storage: str = "f32"
+) -> tuple[int, bool] | None:
     """(limit_mb, inplace) for the raised-VMEM auto regime, or None
     (default-limit behavior / streaming territory).
 
@@ -94,13 +96,31 @@ def auto_raised_plan(params: LBMParams) -> tuple[int, bool] | None:
         return None
     if params.nx % LANE != 0 or params.ny % 8:
         return None
-    if _fits(params.ny, params.nx, params.ny):
+    if storage == "f32" and _fits(params.ny, params.nx, params.ny):
         return None  # default limit already covers it (small grids)
     import jax
 
     if jax.default_backend() == "cpu":
         return None
     ny, nx = params.ny, params.nx
+    if storage == "i16":
+        # int16 state halves the resident footprint, extending the in-place
+        # band through the 2048²-class grids (72 MiB state + 4 MiB i8 mask
+        # + B=16 temporaries = 80.2 MiB, inside the 81 MB verified ref
+        # ceiling) that f32 cannot map.  Only the in-place kernel has an
+        # i16 variant — the mono/ping-pong bands stay f32-only.
+        try:
+            for mb in (48, 88):
+                if _inplace_fits(ny, nx, mb, state_bytes=2):
+                    _pick_inplace_block_rows(
+                        ny, nx, mb,
+                        1 if _inplace_mask_i8(ny, nx, mb, state_bytes=2) else 4,
+                        state_bytes=2,
+                    )
+                    return mb, True
+        except ValueError:
+            pass
+        return None
     mono = (3 * NS * ny + ny) * nx * 4
     if mono <= 66 * 2**20 and _fits(ny, nx, ny, 120):
         return 120, False
@@ -234,18 +254,24 @@ def _blocked_fits(ny: int, nx: int, limit_mb: int | None = None) -> bool:
     )
 
 
-def _inplace_need_bytes(ny: int, nx: int, b: int, mask_bytes: int = 4) -> int:
+def _inplace_need_bytes(
+    ny: int, nx: int, b: int, mask_bytes: int = 4, state_bytes: int = 4
+) -> int:
     """Scoped-VMEM need of the in-place kernel: ONE state + mask + the
     per-block temporaries + the carry/save rows.  Unlike the ping-pong
     kernel (whose live temps exceed the analytic model ~4x), the in-place
     kernel's compiled footprint matches this 1x model against the RAW MiB
     limit: 1024² B=32 compiles at 48 MiB where the model predicts
-    50.32 MB vs the 50.33 MB cap (round 3, exact fit)."""
+    50.32 MB vs the 50.33 MB cap (round 3, exact fit).
+
+    ``state_bytes=2`` models the int16-state variant (ops/quant.py
+    fixed-point deviations): the resident buffer halves while the per-block
+    temporaries stay f32 (windows dequantize on read, stores requantize)."""
     return (
-        NS * ny * nx * 4
+        NS * ny * nx * state_bytes
         + ny * nx * mask_bytes
         + _blocked_temp_bytes(b, nx)
-        + 2 * NS * nx * 4  # save0 + carry rows
+        + 2 * NS * nx * 4  # save0 + carry rows (dequantized f32 values)
     )
 
 
@@ -260,19 +286,24 @@ def _inplace_cap(limit_mb: int | None = None) -> int:
     return min(vmem.limit_mb(limit_mb) * 2**20, _INPLACE_REF_CEILING)
 
 
-def _inplace_mask_i8(ny: int, nx: int, limit_mb: int | None = None) -> bool:
+def _inplace_mask_i8(
+    ny: int, nx: int, limit_mb: int | None = None, state_bytes: int = 4
+) -> bool:
     """Whether the in-place kernel should store the obstacle mask as int8:
     only when the f32 mask does not fit the capped budget but the i8 one
     does (the i8 compare goes through an in-kernel f32 convert — the
     direct i8 compare hits a Mosaic mask-relayout error, BENCHMARKS.md)."""
     cap = _inplace_cap(limit_mb)
     return (
-        _inplace_need_bytes(ny, nx, 8) > cap
-        and _inplace_need_bytes(ny, nx, 8, mask_bytes=1) <= cap
+        _inplace_need_bytes(ny, nx, 8, state_bytes=state_bytes) > cap
+        and _inplace_need_bytes(ny, nx, 8, mask_bytes=1, state_bytes=state_bytes)
+        <= cap
     )
 
 
-def _inplace_fits(ny: int, nx: int, limit_mb: int | None = None) -> bool:
+def _inplace_fits(
+    ny: int, nx: int, limit_mb: int | None = None, state_bytes: int = 4
+) -> bool:
     """In-place blocked-resident feasibility at the capped limit (see
     _inplace_need_bytes; the mask drops to int8 where that is what fits).
     Only active under a raised limit — at the default 16 MiB the
@@ -280,13 +311,17 @@ def _inplace_fits(ny: int, nx: int, limit_mb: int | None = None) -> bool:
     lim = vmem.limit_mb(limit_mb)
     if lim == vmem.DEFAULT_LIMIT_MB:
         return False
-    return _inplace_need_bytes(ny, nx, 8, mask_bytes=1) <= _inplace_cap(
-        limit_mb
-    )
+    return _inplace_need_bytes(
+        ny, nx, 8, mask_bytes=1, state_bytes=state_bytes
+    ) <= _inplace_cap(limit_mb)
 
 
 def _pick_inplace_block_rows(
-    ny: int, nx: int, limit_mb: int | None = None, mask_bytes: int = 4
+    ny: int,
+    nx: int,
+    limit_mb: int | None = None,
+    mask_bytes: int = 4,
+    state_bytes: int = 4,
 ) -> int:
     """Block height for the in-place kernel: the largest fitting 8-aligned
     divisor of ny up to 40 rows.  Measured at 1024² (round 3, one healthy
@@ -298,7 +333,7 @@ def _pick_inplace_block_rows(
     for b in range(8, min(ny, 40) + 1, 8):
         if ny % b:
             continue
-        if _inplace_need_bytes(ny, nx, b, mask_bytes) <= cap:
+        if _inplace_need_bytes(ny, nx, b, mask_bytes, state_bytes) <= cap:
             best = b
         else:
             break
@@ -468,11 +503,20 @@ def _inplace_blocked_kernel(
     accel_row: int,
     w1a: float,
     w2a: float,
+    storage: str = "f32",
+    density: float = 0.0,
 ):
     del fin_ref  # aliased into f_ref; reads/writes go through one name so
     # Mosaic sees every read-write dependency in program order
     B = block_rows
     nb = ny // B
+    # Storage codec (ops/quant.py): i16 keeps the resident state as int16
+    # fixed-point deviations — every row READ dequantizes to f32 before the
+    # window concat (the same load->dequant->accel->stream->collide->quant
+    # per-step order as the streaming block kernel, fused_pallas.py), every
+    # block STORE requantizes.  f32 codecs are identity, so that path's ops
+    # are byte-for-byte what they were.
+    deq, enq = quant.plane_codec(storage, density)
 
     def _mask_f32(rows):
         # int8 masks (capacity-edge grids) compare through an f32 convert:
@@ -485,12 +529,14 @@ def _inplace_blocked_kernel(
 
     def one_step(t):
         # Accel-adjusted driven row (pre-stream values of the OLD state).
-        planes_ar = [f_ref[k, accel_row : accel_row + 1, :] for k in range(NS)]
+        planes_ar = [
+            deq(f_ref[k, accel_row : accel_row + 1, :], k) for k in range(NS)
+        ]
         adj = stencil_math.accel_planes(
             planes_ar, fluid_ar, ar_mask, F32(w1a), F32(w2a)
         )
         # Old row 0, consumed by block nb-1's wrap after block 0 overwrote it.
-        save0 = [f_ref[k, 0:1, :] for k in range(NS)]
+        save0 = [deq(f_ref[k, 0:1, :], k) for k in range(NS)]
         carry = None  # old row r0-1 for the current block (value)
 
         def window(k, r0, carry_k):
@@ -498,6 +544,8 @@ def _inplace_blocked_kernel(
             # substitutions: row r0-1 comes from the carry (overwritten by
             # the previous block) and wrap row ny->0 from save0.  The accel
             # substitution keeps priority — adj IS the old driven row.
+            # Every part is dequantized at read, so the concat (and the
+            # lane rotation after it) runs on f32 regardless of storage.
             cy = lattice.CY[k]
             parts = []
             run_start = None
@@ -506,7 +554,7 @@ def _inplace_blocked_kernel(
                 single = jm != j or jm == accel_row or j == r0 - 1
                 if single:
                     if run_start is not None:
-                        parts.append(f_ref[k, run_start:j, :])
+                        parts.append(deq(f_ref[k, run_start:j, :], k))
                         run_start = None
                     if jm == accel_row:
                         parts.append(adj[k])
@@ -515,11 +563,11 @@ def _inplace_blocked_kernel(
                     elif j == r0 - 1 and r0 > 0:  # overwritten below-row
                         parts.append(carry_k)
                     else:  # j == -1 -> old row ny-1 (still old at block 0)
-                        parts.append(f_ref[k, jm : jm + 1, :])
+                        parts.append(deq(f_ref[k, jm : jm + 1, :], k))
                 elif run_start is None:
                     run_start = j
             if run_start is not None:
-                parts.append(f_ref[k, run_start : r0 + B - cy, :])
+                parts.append(deq(f_ref[k, run_start : r0 + B - cy, :], k))
             if len(parts) == 1 and lattice.CX[k] != 0:
                 p = parts[0]  # Mosaic legality: canonical layout for rotation
                 parts = [p[:-1], p[-1:]]
@@ -534,12 +582,14 @@ def _inplace_blocked_kernel(
                         for k in range(NS)]
             # Old top row of this block: the next block's below-row.  Read
             # BEFORE this block's store overwrites it.
-            carry = [f_ref[k, r0 + B - 1 : r0 + B, :] for k in range(NS)]
+            carry = [
+                deq(f_ref[k, r0 + B - 1 : r0 + B, :], k) for k in range(NS)
+            ]
             out, partial = stencil_math.collide_and_av(
                 streamed, obst_blk, F32(omega)
             )
             for k in range(NS):
-                f_ref[k, r0 : r0 + B, :] = out[k]
+                f_ref[k, r0 : r0 + B, :] = enq(out[k], k)
             tot = partial if tot is None else tot + partial
         av_ref[t, 0] = tot
 
@@ -563,14 +613,29 @@ def make_chunk_runner(
     limit_mb: int | None = None,
     inplace: bool = False,
     block_rows: int | None = None,
+    storage: str = "f32",
 ):
     """Build ``f -> (f_after_chunk, av_sums (chunk,))``, fully on-chip.
 
     Grids beyond the monolithic kernel's temporary budget run the
     block-tiled step variant (requires a raised scoped-VMEM limit —
     ``limit_mb`` kernel-pinned, or LBM_VMEM_LIMIT_MB, ops/vmem.py).
-    ``force_blocked`` pins the blocked kernel for testing."""
+    ``force_blocked`` pins the blocked kernel for testing.
+
+    ``storage='i16'`` (in-place kernel only) keeps the resident state as
+    int16 fixed-point deviations (ops/quant.py): half the VMEM, which
+    admits the 2048²-class grids f32 cannot map.  Per-step quantization —
+    the same lossy contract as the single-step i16 block kernel (fields
+    bitwise-equal to it on TPU)."""
     ny, nx = obstacles.shape
+    if storage not in ("f32", "i16"):
+        raise ValueError(f"unknown storage {storage!r}; use 'f32' or 'i16'")
+    if storage == "i16" and not inplace:
+        raise ValueError(
+            "storage 'i16' maps only the in-place resident kernel "
+            "(pass inplace=True)"
+        )
+    state_bytes = 2 if storage == "i16" else 4
     if not (supports(params, limit_mb) or force_blocked or inplace):
         raise ValueError(f"grid {ny}x{nx} does not fit the VMEM-resident kernel")
     if interpret is None:
@@ -578,8 +643,9 @@ def make_chunk_runner(
     w1a, w2a = lattice.accel_weights(params.density, params.accel)
     aliases = {}
     mask_dtype = jnp.float32
+    state_dtype = jnp.int16 if storage == "i16" else jnp.float32
     if inplace:
-        if _inplace_mask_i8(ny, nx, limit_mb):
+        if _inplace_mask_i8(ny, nx, limit_mb, state_bytes):
             mask_dtype = jnp.int8
         kernel = functools.partial(
             _inplace_blocked_kernel,
@@ -587,12 +653,16 @@ def make_chunk_runner(
             ny=ny,
             block_rows=block_rows
             or _pick_inplace_block_rows(
-                ny, nx, limit_mb, 1 if mask_dtype == jnp.int8 else 4
+                ny, nx, limit_mb,
+                1 if mask_dtype == jnp.int8 else 4,
+                state_bytes,
             ),
             omega=float(params.omega),
             accel_row=params.accel_row,
             w1a=float(w1a),
             w2a=float(w2a),
+            storage=storage,
+            density=float(params.density),
         )
         # Single-buffer update: the state input aliases the state output, so
         # the launch holds ONE resident copy (1x state VMEM, no publish copy).
@@ -635,7 +705,7 @@ def make_chunk_runner(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((NS, ny, nx), jnp.float32),
+            jax.ShapeDtypeStruct((NS, ny, nx), state_dtype),
             jax.ShapeDtypeStruct((chunk, 1), jnp.float32),
         ),
         interpret=interpret,
@@ -643,7 +713,7 @@ def make_chunk_runner(
         **vmem.compiler_params(limit_mb),
         cost_estimate=pl.CostEstimate(
             flops=chunk * 130 * ny * nx,
-            bytes_accessed=2 * NS * ny * nx * 4,
+            bytes_accessed=2 * NS * ny * nx * state_bytes,
             transcendentals=chunk * ny * nx,
         ),
     )
@@ -665,9 +735,13 @@ def make_run_all(
     limit_mb: int | None = None,
     inplace: bool = False,
     block_rows: int | None = None,
+    storage: str = "f32",
 ):
     """Build ``f0 -> (f_final, tot_us (num_steps,))`` running the whole loop
-    as scan-of-chunks (each chunk one resident kernel launch)."""
+    as scan-of-chunks (each chunk one resident kernel launch).
+
+    ``storage='i16'`` takes/returns the quantized int16 state (in-place
+    kernel only; see make_chunk_runner)."""
     chunk = max(1, min(chunk, num_steps)) if num_steps else 1
     ny, nx = obstacles.shape
     if (
@@ -686,12 +760,12 @@ def make_run_all(
     n_full, rem = divmod(num_steps, chunk)
     run_chunk = make_chunk_runner(
         params, obstacles, chunk, interpret, force_blocked, limit_mb,
-        inplace=inplace, block_rows=block_rows,
+        inplace=inplace, block_rows=block_rows, storage=storage,
     )
     run_rem = (
         make_chunk_runner(
             params, obstacles, rem, interpret, force_blocked, limit_mb,
-            inplace=inplace, block_rows=block_rows,
+            inplace=inplace, block_rows=block_rows, storage=storage,
         )
         if rem
         else None
