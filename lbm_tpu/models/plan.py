@@ -63,6 +63,26 @@ def _single_device_lines(out, params, config):
             out("kernel: jnp fallback (grid unmappable by the Pallas "
                 "kernels)")
         return
+    elif (
+        config.storage == "i16"
+        and config.temporal_k is None
+        and fused_pallas._fold_factor(params.nx) == 1
+        and resident_pallas.auto_raised_plan(params, "i16") is not None
+    ):
+        # Mirror modes._i16_single_program's in-place resident routing.
+        mb, _ = resident_pallas.auto_raised_plan(params, "i16")
+        b = resident_pallas._pick_inplace_block_rows(
+            params.ny, params.nx, mb,
+            1 if resident_pallas._inplace_mask_i8(
+                params.ny, params.nx, mb, state_bytes=2) else 4,
+            state_bytes=2,
+        )
+        out(f"kernel: VMEM-resident multi-step, in-place single-buffer "
+            f"int16 (block {b} rows, 1x int16 state) at a raised {mb} MiB "
+            f"scoped-VMEM limit (whole quantized state on-chip, "
+            f"{resident_pallas.DEFAULT_CHUNK} steps per launch); "
+            "--temporal-k opts back into the streaming sweeps")
+        return
 
     K = (
         config.temporal_k

@@ -109,34 +109,32 @@ def auto_raised_plan(
         # + B=16 temporaries = 80.2 MiB, inside the 81 MB verified ref
         # ceiling) that f32 cannot map.  Only the in-place kernel has an
         # i16 variant — the mono/ping-pong bands stay f32-only.
-        try:
-            for mb in (48, 88):
-                if _inplace_fits(ny, nx, mb, state_bytes=2):
-                    _pick_inplace_block_rows(
-                        ny, nx, mb,
-                        1 if _inplace_mask_i8(ny, nx, mb, state_bytes=2) else 4,
-                        state_bytes=2,
-                    )
-                    return mb, True
-        except ValueError:
-            pass
+        for mb in (48, 88):
+            if not _inplace_fits(ny, nx, mb, state_bytes=2):
+                continue
+            try:
+                _pick_inplace_block_rows(
+                    ny, nx, mb,
+                    1 if _inplace_mask_i8(ny, nx, mb, state_bytes=2) else 4,
+                    state_bytes=2,
+                )
+            except ValueError:
+                continue  # evaluate the wider band independently
+            return mb, True
         return None
     mono = (3 * NS * ny + ny) * nx * 4
     if mono <= 66 * 2**20 and _fits(ny, nx, ny, 120):
         return 120, False
-    try:
-        if _inplace_fits(ny, nx, 48):
+    for mb in (48, 88):
+        if not _inplace_fits(ny, nx, mb):
+            continue
+        try:
             _pick_inplace_block_rows(
-                ny, nx, 48, 1 if _inplace_mask_i8(ny, nx, 48) else 4
+                ny, nx, mb, 1 if _inplace_mask_i8(ny, nx, mb) else 4
             )
-            return 48, True
-        if _inplace_fits(ny, nx, 88):
-            _pick_inplace_block_rows(
-                ny, nx, 88, 1 if _inplace_mask_i8(ny, nx, 88) else 4
-            )
-            return 88, True
-    except ValueError:
-        pass
+        except ValueError:
+            continue  # evaluate the wider band independently
+        return mb, True
     blocked = (2 * NS * ny + ny) * nx * 4 + _blocked_temp_bytes(8, nx)
     if blocked <= 81 * 2**20 and _blocked_fits(ny, nx, 88):
         return 88, False

@@ -488,18 +488,17 @@ def _i16_single_program(
     from lbm_tpu.ops import quant, resident_pallas
 
     if resident_pallas.supports(params) or (
-        resident_pallas.auto_limit_mb(params) is not None
+        resident_pallas.auto_raised_plan(params) is not None
     ):
         import warnings
 
         warnings.warn(
-            f"storage 'i16' runs the streaming kernels, but this "
-            f"{params.ny}x{params.nx} grid maps the VMEM-resident f32 "
-            "kernel, which is exact and faster (1024^2 healthy session: "
-            "f32 in-place resident 22.0-22.7k MLUPS vs i16 temporal "
-            "19.9k; i16's single-chip win is the DRAM regime, e.g. "
-            "2048^2 19.0-19.2k vs 16.7k f32); prefer f32 here unless "
-            "measuring the i16 path itself",
+            f"this {params.ny}x{params.nx} grid maps the VMEM-resident f32 "
+            "kernel, which is exact and at least as fast as any i16 path "
+            "(1024^2 healthy session: f32 in-place resident 22.0-22.7k "
+            "MLUPS vs i16 temporal 19.9k; i16's single-chip win is the "
+            "regime f32 cannot keep resident, e.g. 2048^2); prefer f32 "
+            "here unless measuring the i16 path itself",
             stacklevel=4,
         )
 
@@ -513,6 +512,30 @@ def _i16_single_program(
     def deq(q):
         return quant.dequantize(q, dens)
 
+    variant = "pallas-i16"
+    make_run_all = None
+    if temporal_k is None:
+        # In-place resident i16 band (VERDICT r3 #1): one int16 state buffer
+        # in VMEM — half the resident footprint, which extends the zero-HBM
+        # regime through 2048²-class grids f32 cannot map.  An explicit
+        # --temporal-k opts back into the streaming sweeps, mirroring the
+        # f32 path's escape hatch.
+        res_plan = resident_pallas.auto_raised_plan(params, "i16")
+        if res_plan is not None:
+            _mb, _ = res_plan
+
+            def make_run_all(num_steps, _mb=_mb):
+                return resident_pallas.make_run_all(
+                    params, np.asarray(obstacles), num_steps,
+                    limit_mb=_mb, inplace=True, storage="i16",
+                )
+
+            variant = "pallas-resident-i16"
+    if make_run_all is None:
+        make_run_all = _temporal_run_all(
+            params, obstacles, storage="i16", temporal_k=temporal_k
+        )
+
     return StepProgram(
         init_state=quant.quantize(jnp.asarray(f0, dtype=jnp.float32), dens),
         step=step,
@@ -520,10 +543,8 @@ def _i16_single_program(
         u_mag=lambda q: mag(deq(q)),
         tot_cells=int(obstacles.size - np.count_nonzero(obstacles)),
         mesh=None,
-        variant="pallas-i16",
-        make_run_all=_temporal_run_all(
-            params, obstacles, storage="i16", temporal_k=temporal_k
-        ),
+        variant=variant,
+        make_run_all=make_run_all,
         global_shape=(params.ny, params.nx),
         backend="pallas",
     )

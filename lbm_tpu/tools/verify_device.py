@@ -169,6 +169,40 @@ def _resident_inplace_vs_jnp(steps: int = 16, n: int = 1024) -> float:
     return _maxdiff(f_r, f_ref)
 
 
+def _resident_inplace_i16_vs_streaming(steps: int = 16, n: int = 1024) -> float:
+    """int16 in-place resident kernel vs the streaming i16 block kernel —
+    same per-step quantization contract, so the int16 fields must match
+    exactly on TPU (returned value = max |int16 diff| in quantization
+    steps).  This is the VERDICT r4 task-1 band (2048²-class i16)."""
+    import numpy as np
+    import jax
+    from jax import lax
+
+    from lbm_tpu.ops import fused_pallas, quant, resident_pallas
+
+    params, mask, f0, _ = _ref_setup(n, steps)
+    q0 = quant.quantize(f0, float(params.density))
+    step = fused_pallas.make_step(params, mask, storage="i16")
+
+    @jax.jit
+    def ref(q):
+        return lax.scan(lambda q, _: step(q), q, None, length=steps)
+
+    q_ref, _ = ref(q0)
+    run = jax.jit(
+        resident_pallas.make_run_all(
+            params, mask, steps, limit_mb=48, inplace=True, storage="i16"
+        )
+    )
+    q_ip, _ = run(q0)
+    return float(
+        np.abs(
+            np.asarray(q_ip).astype(np.int32)
+            - np.asarray(q_ref).astype(np.int32)
+        ).max()
+    )
+
+
 def _golden_prefix(
     steps: int = 120, grid: str = "128x128", storage: str = "f32"
 ) -> float:
@@ -233,6 +267,11 @@ def run_verify() -> dict:
         d_ip = _resident_inplace_vs_jnp()
         report["resident_inplace_vs_jnp_maxdiff"] = d_ip
         report["resident_inplace_bitwise"] = d_ip <= atol
+        # The i16 in-place band (2048²-class auto path since round 4):
+        # int16 fields must equal the streaming i16 kernel's exactly.
+        d_i16 = _resident_inplace_i16_vs_streaming()
+        report["resident_inplace_i16_vs_streaming_maxdiff"] = d_i16
+        report["resident_inplace_i16_bitwise"] = d_i16 == 0.0
 
     pct = _golden_prefix()
     report["golden_prefix_max_pct"] = pct
@@ -255,6 +294,8 @@ def run_verify() -> dict:
         and report["block_bitwise"]
         and report["resident_bitwise"]
         and report.get("resident_raised_bitwise", True)
+        and report.get("resident_inplace_bitwise", True)
+        and report.get("resident_inplace_i16_bitwise", True)
         and report["golden_prefix_ok"]
         and report["golden_prefix_i16_ok"]
     )

@@ -218,3 +218,65 @@ def test_inplace_resident_matches_blocked_bitwise():
     np.testing.assert_allclose(
         np.asarray(avi16), np.asarray(avb), rtol=1e-5
     )
+
+
+def test_inplace_resident_i16_matches_streaming_i16():
+    """The int16 in-place resident kernel shares the streaming i16 block
+    kernel's per-step quantization contract: dequantize on read, f32
+    stencil math, requantize on store.  On TPU the fields are bitwise
+    (tools/verify_device.py probes that); under CPU interpret the two
+    compilations differ by ~1 ulp in f32 (CLAUDE.md invariants), which at
+    a rounding tie flips an int16 by one unit — so here the contract is
+    |diff| <= 1 quantization step on a handful of cells."""
+    from lbm_tpu.core import lattice
+    from lbm_tpu.ops import fused_pallas, quant, resident_pallas
+
+    ny, nx = 32, 128
+    rng = np.random.default_rng(11)
+    mask = np.zeros((ny, nx), bool)
+    mask[0, :] = mask[-1, :] = True
+    mask[12:16, 60:64] = True
+    params = LBMParams(nx=nx, ny=ny, max_iters=13, reynolds_dim=10,
+                       density=0.1, accel=0.005, omega=1.85)
+    f0 = np.asarray(lattice.equilibrium_rest(params.density, ny, nx))
+    f0 = f0 * (1 + 0.01 * rng.random((9, ny, nx), dtype=np.float32))
+    q0 = quant.quantize(jnp.asarray(f0), float(params.density))
+
+    step = fused_pallas.make_step(params, mask, storage="i16")
+    q_ref = q0
+    av_ref = []
+    for _ in range(4):
+        q_ref, tot = step(q_ref)
+        av_ref.append(float(tot))
+
+    # 4 steps = one 3-chunk plus a remainder chunk (scan-of-chunks + tail).
+    # Longer horizons amplify the interpret-mode rounding-tie flips through
+    # the quantization feedback (13 steps reach |diff|=4) — that growth is
+    # the interpret noise compounding, not a kernel contract.
+    qi, avi = resident_pallas.make_run_all(
+        params, mask, 4, chunk=3, inplace=True, block_rows=8, storage="i16"
+    )(q0)
+    assert np.asarray(qi).dtype == np.int16
+    d = np.abs(np.asarray(qi).astype(np.int32)
+               - np.asarray(q_ref).astype(np.int32))
+    assert d.max() <= 1, f"max int16 diff {d.max()} (> 1 quantization step)"
+    assert (d != 0).mean() < 0.01, f"{(d != 0).sum()} cells differ (ties only)"
+    # av partials group per block (B rows) vs the streaming kernel's rows,
+    # and the tie-flipped cells feed the |u| sums: float-sum reordering
+    # plus one quantization step across ~0.3% of cells.
+    np.testing.assert_allclose(np.asarray(avi), np.asarray(av_ref), rtol=1e-4)
+
+
+def test_i16_program_routes_inplace_resident_on_tpu_only():
+    """_i16_single_program consults auto_raised_plan(storage='i16'): on the
+    CPU backend the plan is None (the ladder is v5e-measured), so the
+    program keeps the streaming variant; the make_run_all hook must still
+    advance the quantized state correctly."""
+    from lbm_tpu.ops import resident_pallas
+    from lbm_tpu.parallel import modes
+
+    params = _sq(16)
+    mask = np.zeros((16, 16), bool)
+    mask[0, :] = mask[-1, :] = True
+    # CPU backend: the raised-limit i16 band must not engage.
+    assert resident_pallas.auto_raised_plan(params, "i16") is None
