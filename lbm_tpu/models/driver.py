@@ -155,7 +155,9 @@ def _pick_variant(scene: Scene, config: RunConfig) -> str:
         if (
             shard_ws > 80 * 2**20
             and config.backend != "jnp"
-            and modes.ca_supported(params, scene.obstacles, n_dev, ca_stal)
+            and modes.ca_supported(
+                params, scene.obstacles, n_dev, ca_stal, config.storage
+            )
         ):
             return "ca"
         stale_fraction = 2.0 * n_dev / params.ny

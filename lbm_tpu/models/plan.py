@@ -199,12 +199,33 @@ def describe_plan(scene: Scene, config) -> str:
                 out("NOTE: this run will FAIL — ca does not support "
                     "open-seam row padding (ny not divisible by the mesh)")
             elif backend != "pallas" or not modes.ca_supported(
-                params, scene.obstacles, n_dev, stal
+                params, scene.obstacles, n_dev, stal, config.storage
             ):
-                out(f"NOTE: this run will FAIL — ca requires the "
-                    f"temporal pallas slab sweep, which cannot map "
+                out(f"NOTE: this run will FAIL — ca requires a K-sweep "
+                    f"engine (resident extended-slab or temporal slab "
+                    f"sweep), neither of which can map "
                     f"{(ny + pad_rows) // n_dev}-row shards at depth "
                     f"K={K_ca}")
+            else:
+                # Mirror build_sharded_program's engine choice exactly.
+                from lbm_tpu.ops import resident_pallas
+
+                nloc_pad = (ny + pad_rows) // n_dev
+                pad_cols = modes.lane_pad_cols(nx) if nx % 128 else 0
+                if (
+                    config.storage == "f32"
+                    and not pad_cols
+                    and resident_pallas.supports_ca_shard(nloc_pad, nx, K_ca)
+                ):
+                    out(f"ca engine: VMEM-resident extended-slab sweep "
+                        f"({nloc_pad}+2x{K_ca} rows on-chip per sweep)")
+                else:
+                    out("ca engine: streaming temporal slab sweep")
+        if variant in ("sync", "overlap", "async", "async-k", "chunked", "ca"):
+            out("evidence: discipline ordering from a 1-core CPU op-count "
+                "proxy (scripts/exp_disciplines.py; multi-chip hardware "
+                "unavailable) + single-chip per-shard kernel rates "
+                "(BENCHMARKS.md)")
         spc = K_ca if variant == "ca" else stal if variant == "chunked" else 1
         # Mirror the driver's debug handling of multi-step programs
         # (models/driver.py run_simulation + _make_scan).

@@ -929,3 +929,171 @@ def make_ghosted_chunk_runner(
         return new_f, av[:, 0]
 
     return run_chunk
+
+
+# --- exact communication-avoiding resident sweep: the ca-mode fast path -----
+#
+# The ca discipline (parallel/modes.py::step_ca) exchanges the K raw boundary
+# rows once per K steps and recomputes the boundary levels locally — bitwise-
+# equal to K synchronous steps.  Its original engine is the temporal slab
+# SWEEP (ops/temporal_pallas.py), which streams row blocks through VMEM with
+# seam-strip bookkeeping at every level: correct, but ~3x off the ghosted
+# VMEM-resident chunk kernel that serves the lossy chunked mode.
+#
+# This kernel runs the same exact schedule fully VMEM-resident: the
+# K-extended slab [ghost_lo | shard | ghost_hi] ping-pongs between two VMEM
+# buffers and every step recomputes the WHOLE extended slab with the
+# monolithic _chunk_kernel's periodic roll.  The in-slab wrap rows are
+# garbage (the true neighbors live on other shards), but garbage propagates
+# inward exactly one row per step from each edge — after step t the
+# contaminated rows are [0, t+1) and [ext-t-1, ext), while step t+1 only
+# reads rows [t+1, ext-t-1): the standard shrinking-trapezoid validity
+# argument, paid as compute on 2K extra rows instead of per-level seam
+# strips.  After K steps the central nloc rows are bitwise-equal to K
+# synchronous exchanged steps (same stencil_math ops over the same values).
+#
+# The driven-row injection and the av reduction need GLOBAL row identities:
+# the accel mask compares (row_offset - K + i) mod ny_global against the
+# driven row (ghost rows evolve exactly as they do on their owner shard),
+# and the per-step |u| partial masks to the central nloc rows so each cell
+# is counted by exactly one shard (float-sum grouping differs from the slab
+# sweep's block partials — same ~1-ulp av_vels contract, fields bitwise).
+
+
+def supports_ca_shard(nloc: int, nx: int, K: int) -> bool:
+    """Whether the resident ca sweep can map an nloc-row shard at depth K
+    (at the default or the compile-verified raised VMEM limit)."""
+    return (
+        K >= 2
+        and nx % LANE == 0
+        and nloc % 8 == 0
+        and (nloc + 2 * K) % 8 == 0
+        and nloc >= K
+        and _ca_resident_limit(nloc, nx, K) is not None
+    )
+
+
+def _ca_resident_limit(nloc: int, nx: int, K: int) -> int | None:
+    """Scoped-VMEM limit for the resident ca sweep: 0 (default limit) when
+    the 3x-extended-state monolithic budget fits, else the compile-verified
+    120 MiB band for 3x-state <= 66 MB (auto_raised_plan's mono ceiling),
+    else None (the temporal slab sweep's streaming territory)."""
+    ext = nloc + 2 * K
+    if _fits(ext, nx, ext):
+        return 0
+    if (3 * NS * ext + ext) * nx * 4 <= 66 * 2**20 and _fits(ext, nx, ext, 120):
+        return 120
+    return None
+
+
+def _ca_ext_kernel(
+    row_off_ref,  # (1, 1) int32 SMEM: global row of local row 0
+    ext_ref,  # (9, nloc + 2K, nx) VMEM in: [ghost_lo | shard | ghost_hi]
+    obst_ref,  # (nloc + 2K, nx) f32 VMEM in (K-deep ghost-extended)
+    out_ref,  # (9, nloc + 2K, nx) VMEM out (central nloc rows valid)
+    av_ref,  # (K, 1) f32 SMEM out
+    *,
+    K: int,
+    nloc: int,
+    ny_global: int,
+    omega: float,
+    accel_row: int,
+    w1a: float,
+    w2a: float,
+):
+    ext = nloc + 2 * K
+    fluid = obst_ref[...] == F32(0.0)
+    obst = jnp.logical_not(fluid)
+    iota = jax.lax.broadcasted_iota(jnp.int32, (ext, 1), 0)
+    # Global row of extended row i (shard 0's lower ghosts wrap to the top).
+    grow = (row_off_ref[0, 0] - K + iota) % ny_global
+    row_mask = grow == accel_row
+    central = (iota >= K) & (iota < K + nloc)
+    av_mask = fluid & central
+
+    def one_step(src_ref, dst_ref, t):
+        planes = [src_ref[k] for k in range(NS)]
+        planes = stencil_math.accel_planes(
+            planes, fluid, row_mask, F32(w1a), F32(w2a)
+        )
+        streamed = [
+            _roll2d(planes[k], lattice.CY[k], lattice.CX[k]) for k in range(NS)
+        ]
+        rho, u_x, u_y = stencil_math.moments(streamed)
+        u_sq = u_x * u_x + u_y * u_y
+        out = stencil_math.collide(streamed, obst, F32(omega), rho, u_x, u_y, u_sq)
+        for k in range(NS):
+            dst_ref[k] = out[k]
+        av_ref[t, 0] = stencil_math.speed_sum(u_sq, av_mask)
+
+    # K is small (2..16) and static: unroll the ping-pong in Python.
+    for t in range(K):
+        src, dst = (ext_ref, out_ref) if t % 2 == 0 else (out_ref, ext_ref)
+        one_step(src, dst, t)
+    if K % 2 == 0:
+        for k in range(NS):
+            out_ref[k] = ext_ref[k]
+
+
+def make_ca_chunk_runner(
+    params: LBMParams,
+    nloc: int,
+    nx: int,
+    K: int,
+    ny_global: int,
+    interpret: bool | None = None,
+):
+    """Build the resident exact-ca per-shard sweep:
+    ``(f, ghost_lo (9,K,nx), ghost_hi (9,K,nx), obst_ext, row_offset)
+    -> (f', tot_u (K,))`` — drop-in for temporal_pallas.make_slab_sweep."""
+    if not supports_ca_shard(nloc, nx, K):
+        raise ValueError(
+            f"shard {nloc}x{nx} at depth K={K} does not fit the resident "
+            "ca sweep"
+        )
+    if interpret is None:
+        interpret = _use_interpret()
+    limit = _ca_resident_limit(nloc, nx, K) or None
+    ext = nloc + 2 * K
+    w1a, w2a = lattice.accel_weights(params.density, params.accel)
+    kernel = functools.partial(
+        _ca_ext_kernel,
+        K=K,
+        nloc=nloc,
+        ny_global=ny_global,
+        omega=float(params.omega),
+        accel_row=params.accel_row,
+        w1a=float(w1a),
+        w2a=float(w2a),
+    )
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((NS, ext, nx), jnp.float32),
+            jax.ShapeDtypeStruct((K, 1), jnp.float32),
+        ),
+        interpret=interpret,
+        **vmem.compiler_params(limit),
+        cost_estimate=pl.CostEstimate(
+            flops=K * 130 * ext * nx,
+            bytes_accessed=2 * NS * ext * nx * 4,
+            transcendentals=K * ext * nx,
+        ),
+    )
+
+    def run_sweep(f, ghost_lo, ghost_hi, obst_ext, row_offset):
+        row_off = jnp.asarray(row_offset, dtype=jnp.int32).reshape(1, 1)
+        ext_f = jnp.concatenate([ghost_lo, f, ghost_hi], axis=1)
+        new_ext, av = call(row_off, ext_f, obst_ext.astype(jnp.float32))
+        return new_ext[:, K : K + nloc, :], av[:, 0]
+
+    return run_sweep

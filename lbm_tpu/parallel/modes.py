@@ -428,12 +428,14 @@ def ca_supported(
     obstacles: np.ndarray,
     num_shards: int,
     staleness: int = STALENESS_DEFAULTS["ca"],
+    storage: str = "f32",
 ) -> bool:
     """Whether ca mode can map this scene over ``num_shards`` — mirrors the
     build_sharded_program gate exactly (lane padding feasibility, no open
-    seams, temporal slab sweep mapping).  Used by the driver's auto policy
-    and by --plan's will-FAIL prediction."""
-    from lbm_tpu.ops import fused_pallas, temporal_pallas
+    seams, a K-sweep engine that maps: the VMEM-resident extended-slab
+    sweep or the streaming temporal slab sweep).  Used by the driver's
+    auto policy and by --plan's will-FAIL prediction."""
+    from lbm_tpu.ops import fused_pallas, resident_pallas, temporal_pallas
 
     ny, nx = obstacles.shape
     if not sharded_pallas_supported(ny, nx, num_shards):
@@ -447,8 +449,19 @@ def ca_supported(
     nloc = (ny + pad_rows) // num_shards
     if nloc < 2:
         return False
+    K = ca_depth(staleness)
+    # The resident extended-slab sweep is f32-only and cannot carry clone
+    # columns; where it maps, ca is supported regardless of the slab
+    # sweep's own gates (e.g. its accel_row >= K constraint — the resident
+    # sweep recomputes every ghost row's levels directly).
+    if (
+        storage == "f32"
+        and not pad_cols
+        and resident_pallas.supports_ca_shard(nloc, nx, K)
+    ):
+        return True
     return temporal_pallas.supports_shard(
-        params, nloc, nx + pad_cols, ca_depth(staleness),
+        params, nloc, nx + pad_cols, K,
         clone_nx=nx if pad_cols else None,
     )
 
@@ -788,7 +801,7 @@ def build_sharded_program(
         # per K steps, boundary levels recomputed locally in the temporal
         # slab sweep (ops/temporal_pallas.py) — bitwise-equal to K
         # synchronous steps, with collective latency amortized K-fold.
-        from lbm_tpu.ops import temporal_pallas
+        from lbm_tpu.ops import resident_pallas, temporal_pallas
 
         K_ca = ca_depth(staleness)
         if open_pad:
@@ -796,13 +809,23 @@ def build_sharded_program(
                 "ca mode does not support open-seam row padding; use a "
                 "shard count that divides ny, or the sync/overlap variants"
             )
-        if backend != "pallas" or not temporal_pallas.supports_shard(
-            params, nloc, nx, K_ca,
-            clone_nx=nx - pad_cols if pad_cols else None,
+        ca_resident = (
+            backend == "pallas"
+            and storage == "f32"
+            and not pad_cols
+            and resident_pallas.supports_ca_shard(nloc, nx, K_ca)
+        )
+        if backend != "pallas" or not (
+            ca_resident
+            or temporal_pallas.supports_shard(
+                params, nloc, nx, K_ca,
+                clone_nx=nx - pad_cols if pad_cols else None,
+            )
         ):
             raise ValueError(
-                f"ca mode requires the temporal pallas slab sweep, which "
-                f"cannot map {nloc}x{nx} shards at depth "
+                f"ca mode requires a K-sweep engine (the VMEM-resident "
+                f"extended-slab sweep or the temporal pallas slab sweep), "
+                f"neither of which can map {nloc}x{nx} shards at depth "
                 f"K={K_ca}; use sync/overlap (or fewer devices / a "
                 "lane-aligned width)"
             )
@@ -990,16 +1013,30 @@ def build_sharded_program(
         ghosted_chunk = None
 
     if mode == "ca":
-        from lbm_tpu.ops import temporal_pallas
+        from lbm_tpu.ops import resident_pallas, temporal_pallas
 
-        # K_ca was fixed by the validation block above; ny_global makes
-        # shard 0's seam-strip row indices wrap to the true top rows.
-        ca_sweep = temporal_pallas.make_slab_sweep(
-            params, nloc, nx, K_ca,
-            clone_cols_nx=nx - pad_cols if pad_cols else None,
-            storage=storage,
-            ny_global=ny,
-        )
+        # K_ca was fixed by the validation block above.  Engine choice:
+        # shards that fit the VMEM-resident extended-slab sweep
+        # (resident_pallas.supports_ca_shard — f32, lane-aligned, no clone
+        # columns) run the whole K-step exact schedule on-chip (~3x the
+        # streaming slab sweep's per-shard rate, round 4); everything else
+        # streams through the temporal slab sweep.  Both are bitwise-equal
+        # to K synchronous steps on fields; their av partials group rows
+        # differently (~1-ulp float-sum reordering, the documented
+        # temporal-kernel contract).
+        if ca_resident:
+            ca_sweep = resident_pallas.make_ca_chunk_runner(
+                params, nloc, nx, K_ca, ny_global=ny
+            )
+        else:
+            # ny_global makes shard 0's seam-strip row indices wrap to the
+            # true top rows.
+            ca_sweep = temporal_pallas.make_slab_sweep(
+                params, nloc, nx, K_ca,
+                clone_cols_nx=nx - pad_cols if pad_cols else None,
+                storage=storage,
+                ny_global=ny,
+            )
         # K-deep ghost-extended obstacle slabs for the sweep's boundary
         # recomputation (periodic wrap, like _extended_obstacle_slabs).
         ca_slabs_host = np.stack(

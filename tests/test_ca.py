@@ -10,6 +10,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from lbm_tpu.models.driver import RunConfig, run_simulation
 from lbm_tpu.parallel import mesh as mesh_lib
@@ -350,6 +351,71 @@ def test_frames_i16_ca_rejected(ca_scene):
         run_simulation(scene, cfg)
     plan = describe_plan(scene, cfg)
     assert "will FAIL" in plan and "f32 storage" in plan
+
+
+def test_ca_resident_engine_matches_slab_sweep(ca_scene):
+    """The two ca K-sweep engines — the VMEM-resident extended-slab kernel
+    (round 4) and the streaming temporal slab sweep — are interchangeable:
+    identical ghost inputs must give identical fields (1-ulp on CPU
+    interpret) and matching per-step |u| partials (float-sum grouping
+    differs)."""
+    from lbm_tpu.ops import resident_pallas, temporal_pallas
+
+    params, mask = ca_scene
+    ny, nx = mask.shape
+    nloc, K = 16, 4
+    assert resident_pallas.supports_ca_shard(nloc, nx, K)
+    res = resident_pallas.make_ca_chunk_runner(
+        params, nloc, nx, K, ny_global=ny, interpret=True
+    )
+    slab = temporal_pallas.make_slab_sweep(
+        params, nloc, nx, K, interpret=True, ny_global=ny
+    )
+    # Shard 1 of 2 (rows 16..31): its hi ghosts wrap to the global top rows,
+    # so the driven row (ny-2=30) sits inside the shard body and the wrap
+    # indices both engines compute must agree.
+    from lbm_tpu.core import lattice
+
+    f_full = np.asarray(
+        lattice.equilibrium_rest(params.density, ny, nx), np.float32
+    )
+    r = np.random.default_rng(7)
+    f_full *= 1.0 + 0.01 * r.random(f_full.shape, dtype=np.float32)
+    for off in (0, 16):
+        rows = lambda a, b: np.arange(a, b) % ny
+        f = jnp.asarray(f_full[:, rows(off, off + nloc)])
+        lo = jnp.asarray(f_full[:, rows(off - K, off)])
+        hi = jnp.asarray(f_full[:, rows(off + nloc, off + nloc + K)])
+        obst_ext = jnp.asarray(
+            mask[rows(off - K, off + nloc + K)].astype(np.float32)
+        )
+        f_res, av_res = res(f, lo, hi, obst_ext, off)
+        f_slab, av_slab = slab(f, lo, hi, obst_ext, off)
+        np.testing.assert_allclose(
+            np.asarray(f_res), np.asarray(f_slab), atol=5e-7
+        )
+        np.testing.assert_allclose(
+            np.asarray(av_res), np.asarray(av_slab), rtol=1e-5
+        )
+
+
+def test_plan_names_ca_engine(ca_scene):
+    from lbm_tpu.io.scene import Scene
+    from lbm_tpu.models.plan import describe_plan
+
+    params, mask = ca_scene
+    scene = Scene(params=params, obstacles=mask)
+    # K=4 over 4 shards (8-row shards, ext 16): resident engine.
+    plan = describe_plan(scene, RunConfig(
+        variant="ca", num_devices=4, staleness=4, num_steps=8,
+    ))
+    assert "ca engine: VMEM-resident extended-slab sweep" in plan
+    assert "evidence:" in plan  # discipline-ordering provenance caveat
+    # K=2 (ext misaligned): falls back to the streaming slab sweep.
+    plan2 = describe_plan(scene, RunConfig(
+        variant="ca", num_devices=4, staleness=2, num_steps=8,
+    ))
+    assert "ca engine: streaming temporal slab sweep" in plan2
 
 
 def test_build_init_false_skips_init_state(ca_scene, mesh4):
