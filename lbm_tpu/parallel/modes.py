@@ -86,6 +86,10 @@ class StepProgram:
     # its k inner steps.  step() == k x inner + exchange (tested).
     chunk_inner_step: Callable[[Any], tuple[Any, jax.Array]] | None = None
     chunk_exchange: Callable[[Any], Any] | None = None
+    # ca mode only: which K-sweep engine backs the schedule — "resident"
+    # (VMEM-resident extended-slab kernel) or "slab" (streaming temporal
+    # slab sweep).  Informational; the dryrun certifies the routed engine.
+    engine: str | None = None
 
 
 def lane_pad_cols(nx: int) -> int:
@@ -1289,4 +1293,7 @@ def build_sharded_program(
         backend=backend,
         chunk_inner_step=chunk_inner_step,
         chunk_exchange=chunk_exchange,
+        engine=(
+            ("resident" if ca_resident else "slab") if mode == "ca" else None
+        ),
     )
