@@ -207,16 +207,17 @@ def describe_plan(scene: Scene, config) -> str:
                     f"{(ny + pad_rows) // n_dev}-row shards at depth "
                     f"K={K_ca}")
             else:
-                # Mirror build_sharded_program's engine choice exactly.
-                from lbm_tpu.ops import resident_pallas
-
+                # Mirror build_sharded_program's engine choice exactly
+                # (modes.ca_engine_choice: slab preferred — measured faster
+                # at every shard shape both engines map, round 4 — resident
+                # fallback, LBM_CA_ENGINE force).
                 nloc_pad = (ny + pad_rows) // n_dev
                 pad_cols = modes.lane_pad_cols(nx) if nx % 128 else 0
-                if (
-                    config.storage == "f32"
-                    and not pad_cols
-                    and resident_pallas.supports_ca_shard(nloc_pad, nx, K_ca)
-                ):
+                eng = modes.ca_engine_choice(
+                    params, nloc_pad, nx + pad_cols, K_ca,
+                    pad_cols=pad_cols, storage=config.storage,
+                )
+                if eng == "resident":
                     out(f"ca engine: VMEM-resident extended-slab sweep "
                         f"({nloc_pad}+2x{K_ca} rows on-chip per sweep)")
                 else:

@@ -105,12 +105,27 @@ def auto_raised_plan(
     ny, nx = params.ny, params.nx
     if storage == "i16":
         # int16 state halves the resident footprint, extending the in-place
-        # band through the 2048²-class grids (72 MiB state + 4 MiB i8 mask
-        # + B=16 temporaries = 80.2 MiB, inside the 81 MB verified ref
-        # ceiling) that f32 cannot map.  Only the in-place kernel has an
-        # i16 variant — the mono/ping-pong bands stay f32-only.
-        for mb in (48, 88):
-            if not _inplace_fits(ny, nx, mb, state_bytes=2):
+        # band through grids f32 cannot map.  Only the in-place kernel has
+        # an i16 variant — the mono/ping-pong bands stay f32-only.
+        # Measured gates (round 4, scripts/exp_inplace.py i16/i16edge):
+        # - wherever f32 keeps a resident band, the STREAMING i16 sweeps
+        #   beat i16 in-place (1024²: temporal 19.9k vs in-place 15.2-15.5k
+        #   MLUPS — the dequant-on-read/requant-on-store codec taxes every
+        #   window), so those grids return None and stream;
+        # - 1536² i16 in-place @48 MiB measured **18.5k** vs the 15.5k
+        #   streaming best; 1792² @64 ran 19.5k, @72 **19.7k** — the
+        #   band's wins;
+        # - the i16 kernel CRASHES the remote compile helper (HTTP 500) at
+        #   limits >= 80 MiB regardless of refs (1536² @88 crashes with the
+        #   same refs that run at 48; 1792² @88, 2048² @80 and @88 crash;
+        #   @64/@72 run) — its dequantized f32 window temporaries blow the
+        #   wider bands, so the band tops out at 72 MiB.  2048² i16 state
+        #   (72 MiB) + mask cannot fit under 72 -> streaming trapezoid
+        #   stays that grid's path.
+        if _fits(ny, nx, ny) or auto_raised_plan(params, "f32") is not None:
+            return None
+        for mb in (48, 72):
+            if not _inplace_fits_i16(ny, nx, mb):
                 continue
             try:
                 _pick_inplace_block_rows(
@@ -278,6 +293,24 @@ def _inplace_need_bytes(
 # int8 mask) and 94.3 MB (f32 mask) both crash the remote helper with
 # HTTP 500.  Raising the limit past 88 also crashes regardless of refs.
 _INPLACE_REF_CEILING = 81 * 2**20
+
+# The int16-state variant's compile envelope is TIGHTER than f32's along
+# the LIMIT axis, not the refs axis: 1536² i16 @88 MiB crashes the helper
+# (HTTP 500) with the very refs that run at 48, and 1792²/2048² crash at
+# every limit >= 80 while 1792² runs at 64 and 72 (19.5-19.7k MLUPS) —
+# the dequantized f32 window temporaries blow the raised scoped-VMEM
+# budget itself.  auto_raised_plan therefore caps the i16 band's limit at
+# 72 MiB; this refs ceiling (measured-good 1792² ~ 62 MB, rounded up) is
+# a belt-and-braces bound under that cap.
+_INPLACE_I16_REF_CEILING = 66 * 2**20
+
+
+def _inplace_fits_i16(ny: int, nx: int, limit_mb: int | None = None) -> bool:
+    return (
+        _inplace_fits(ny, nx, limit_mb, state_bytes=2)
+        and _inplace_need_bytes(ny, nx, 8, mask_bytes=1, state_bytes=2)
+        <= _INPLACE_I16_REF_CEILING
+    )
 
 
 def _inplace_cap(limit_mb: int | None = None) -> int:
@@ -503,9 +536,18 @@ def _inplace_blocked_kernel(
     w2a: float,
     storage: str = "f32",
     density: float = 0.0,
+    ablate: str = "",
 ):
     del fin_ref  # aliased into f_ref; reads/writes go through one name so
     # Mosaic sees every read-write dependency in program order
+    # ``ablate`` (scripts/exp_inplace.py only — never set from product
+    # paths): comma flags that surgically remove one cost from the REAL
+    # kernel so the per-phase accounting is measured, not inferred
+    # (BENCHMARKS.md Rooflines).  Results are WRONG under ablation:
+    #   nostream  straight block reads — no window stitching, no rotation
+    #   norot     window stitching kept, lane rotation skipped
+    #   nocarry   skip the carry-row save (reads the overwritten row)
+    #   noav      skip the |u| reduction (moments+collide only)
     B = block_rows
     nb = ny // B
     # Storage codec (ops/quant.py): i16 keeps the resident state as int16
@@ -559,7 +601,10 @@ def _inplace_blocked_kernel(
                     elif j == ny:  # wrap above the last block: old row 0
                         parts.append(save0[k])
                     elif j == r0 - 1 and r0 > 0:  # overwritten below-row
-                        parts.append(carry_k)
+                        parts.append(
+                            carry_k if carry_k is not None
+                            else deq(f_ref[k, jm : jm + 1, :], k)  # nocarry
+                        )
                     else:  # j == -1 -> old row ny-1 (still old at block 0)
                         parts.append(deq(f_ref[k, jm : jm + 1, :], k))
                 elif run_start is None:
@@ -570,26 +615,55 @@ def _inplace_blocked_kernel(
                 p = parts[0]  # Mosaic legality: canonical layout for rotation
                 parts = [p[:-1], p[-1:]]
             w = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+            if "norot" in ablate:
+                return w
             return fused_pallas._roll_x(w, lattice.CX[k])
 
         tot = None
         for i in range(nb):
             r0 = i * B
             obst_blk = _mask_f32(obst_ref[r0 : r0 + B, :]) != F32(0.0)
-            streamed = [window(k, r0, carry[k] if carry else None)
-                        for k in range(NS)]
+            if "nostream" in ablate:
+                streamed = [deq(f_ref[k, r0 : r0 + B, :], k) for k in range(NS)]
+            else:
+                streamed = [window(k, r0, carry[k] if carry else None)
+                            for k in range(NS)]
             # Old top row of this block: the next block's below-row.  Read
             # BEFORE this block's store overwrites it.
-            carry = [
-                deq(f_ref[k, r0 + B - 1 : r0 + B, :], k) for k in range(NS)
-            ]
-            out, partial = stencil_math.collide_and_av(
-                streamed, obst_blk, F32(omega)
-            )
+            if "nocarry" not in ablate:
+                carry = [
+                    deq(f_ref[k, r0 + B - 1 : r0 + B, :], k) for k in range(NS)
+                ]
+            if "noav" in ablate:
+                rho, u_x, u_y = stencil_math.moments(streamed)
+                u_sq = u_x * u_x + u_y * u_y
+                out = stencil_math.collide(
+                    streamed, obst_blk, F32(omega), rho, u_x, u_y, u_sq
+                )
+                partial = None
+            elif "avscalar" in ablate:
+                # Round-3 layout: a full scalar |u| reduction PER BLOCK.
+                # Kept for the measured comparison (BENCHMARKS Rooflines);
+                # the lane-vector accumulation below replaced it in round 4.
+                out, partial = stencil_math.collide_and_av(
+                    streamed, obst_blk, F32(omega)
+                )
+            else:
+                # Accumulate a (1, nx) row-reduced |u| vector per block and
+                # lane-reduce ONCE per step: the per-block scalar reduction
+                # measured 7.5 us/step at 1024^2 (13% of the whole kernel).
+                out, partial = stencil_math.collide_and_av_rows(
+                    streamed, obst_blk, F32(omega)
+                )
             for k in range(NS):
                 f_ref[k, r0 : r0 + B, :] = enq(out[k], k)
-            tot = partial if tot is None else tot + partial
-        av_ref[t, 0] = tot
+            if partial is not None:
+                tot = partial if tot is None else tot + partial
+        av_ref[t, 0] = (
+            F32(0.0) if tot is None
+            else tot if tot.ndim == 0
+            else jnp.sum(tot, dtype=F32)
+        )
 
     def body(t, _):
         one_step(t)
@@ -612,6 +686,7 @@ def make_chunk_runner(
     inplace: bool = False,
     block_rows: int | None = None,
     storage: str = "f32",
+    _ablate: str = "",
 ):
     """Build ``f -> (f_after_chunk, av_sums (chunk,))``, fully on-chip.
 
@@ -661,6 +736,7 @@ def make_chunk_runner(
             w2a=float(w2a),
             storage=storage,
             density=float(params.density),
+            ablate=_ablate,
         )
         # Single-buffer update: the state input aliases the state output, so
         # the launch holds ONE resident copy (1x state VMEM, no publish copy).
@@ -734,6 +810,7 @@ def make_run_all(
     inplace: bool = False,
     block_rows: int | None = None,
     storage: str = "f32",
+    _ablate: str = "",
 ):
     """Build ``f0 -> (f_final, tot_us (num_steps,))`` running the whole loop
     as scan-of-chunks (each chunk one resident kernel launch).
@@ -759,11 +836,13 @@ def make_run_all(
     run_chunk = make_chunk_runner(
         params, obstacles, chunk, interpret, force_blocked, limit_mb,
         inplace=inplace, block_rows=block_rows, storage=storage,
+        _ablate=_ablate,
     )
     run_rem = (
         make_chunk_runner(
             params, obstacles, rem, interpret, force_blocked, limit_mb,
             inplace=inplace, block_rows=block_rows, storage=storage,
+            _ablate=_ablate,
         )
         if rem
         else None

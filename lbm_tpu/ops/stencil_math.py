@@ -119,3 +119,24 @@ def collide_and_av(streamed, obst, omega):
     out = collide(streamed, obst, omega, rho, u_x, u_y, u_sq)
     fluid = jnp.logical_not(obst)
     return out, speed_sum(u_sq, fluid)
+
+
+def collide_and_av_rows(streamed, obst, omega):
+    """collide_and_av with the |u| partial reduced over ROWS only.
+
+    Returns (9 planes, (1, nx) lane vector).  On the TPU VPU the sublane
+    (row) reduction is plain adds while the lane reduction needs cross-lane
+    shuffles — callers that loop over row blocks accumulate these vectors
+    and lane-reduce ONCE per step (measured: the per-block scalar
+    reduction cost the in-place kernel 7.5 us/step at 1024², 13% — round-4
+    ablation, BENCHMARKS.md Rooflines).  Same values as collide_and_av up
+    to float-sum reordering (the documented av-partial grouping contract)."""
+    rho, u_x, u_y = moments(streamed)
+    u_sq = u_x * u_x + u_y * u_y
+    out = collide(streamed, obst, omega, rho, u_x, u_y, u_sq)
+    fluid = jnp.logical_not(obst)
+    vec = jnp.sum(
+        jnp.where(fluid, jnp.sqrt(u_sq), F32(0.0)),
+        axis=0, keepdims=True, dtype=F32,
+    )
+    return out, vec

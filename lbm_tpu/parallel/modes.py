@@ -208,6 +208,58 @@ def temporal_impl_choice(
     return None
 
 
+def ca_engine_choice(
+    params: LBMParams,
+    nloc: int,
+    nx: int,
+    K: int,
+    *,
+    pad_cols: int = 0,
+    storage: str = "f32",
+    backend: str = "pallas",
+) -> str | None:
+    """Which K-sweep engine backs the exact ca discipline for this shard
+    shape: ``'slab'`` (streaming temporal slab sweep,
+    ops/temporal_pallas.make_slab_sweep), ``'resident'`` (VMEM-resident
+    extended-slab kernel, ops/resident_pallas.make_ca_chunk_runner), or
+    None when neither maps (ca unsupported).
+
+    Shared by the mode builder and ``--plan``.  ``LBM_CA_ENGINE`` forces an
+    engine (``slab`` / ``resident``).  Auto prefers the SLAB — the round-4
+    on-chip head-to-head (scripts/exp_ca_engine.py, healthy session,
+    frozen-ghost kernel rates) measured it faster at every shard shape
+    both engines map: 128x1024 K=4 slab 13.2k vs resident 10.3k
+    MLUPS/shard, 256x2048 K=4 16.1k vs 10.0k.  The resident engine is the
+    fallback for shards the slab's gates reject (e.g. its accel_row >= K
+    constraint — the resident sweep recomputes every ghost row's levels
+    directly), and stays forceable for certification.
+    """
+    import os
+
+    from lbm_tpu.ops import resident_pallas, temporal_pallas
+
+    if backend != "pallas":
+        return None
+    slab_ok = temporal_pallas.supports_shard(
+        params, nloc, nx, K, clone_nx=nx - pad_cols if pad_cols else None
+    )
+    res_ok = (
+        storage == "f32"
+        and not pad_cols
+        and resident_pallas.supports_ca_shard(nloc, nx, K)
+    )
+    forced = os.environ.get("LBM_CA_ENGINE", "auto").strip().lower()
+    if forced == "slab":
+        return "slab" if slab_ok else None
+    if forced == "resident":
+        return "resident" if res_ok else None
+    if slab_ok:
+        return "slab"
+    if res_ok:
+        return "resident"
+    return None
+
+
 def _temporal_run_all(
     params: LBMParams,
     obstacles: np.ndarray,
@@ -454,19 +506,14 @@ def ca_supported(
     if nloc < 2:
         return False
     K = ca_depth(staleness)
-    # The resident extended-slab sweep is f32-only and cannot carry clone
-    # columns; where it maps, ca is supported regardless of the slab
-    # sweep's own gates (e.g. its accel_row >= K constraint — the resident
-    # sweep recomputes every ghost row's levels directly).
-    if (
-        storage == "f32"
-        and not pad_cols
-        and resident_pallas.supports_ca_shard(nloc, nx, K)
-    ):
-        return True
-    return temporal_pallas.supports_shard(
-        params, nloc, nx + pad_cols, K,
-        clone_nx=nx if pad_cols else None,
+    # Same engine policy as the mode builder (slab preferred, resident
+    # fallback, LBM_CA_ENGINE force) — support means SOME engine maps.
+    return (
+        ca_engine_choice(
+            params, nloc, nx + pad_cols, K,
+            pad_cols=pad_cols, storage=storage,
+        )
+        is not None
     )
 
 
@@ -534,9 +581,11 @@ def _i16_single_program(
     if temporal_k is None:
         # In-place resident i16 band (VERDICT r3 #1): one int16 state buffer
         # in VMEM — half the resident footprint, which extends the zero-HBM
-        # regime through 2048²-class grids f32 cannot map.  An explicit
-        # --temporal-k opts back into the streaming sweeps, mirroring the
-        # f32 path's escape hatch.
+        # regime to the 1536²/1792² grids f32 cannot map (measured 18.5k /
+        # 19.7k MLUPS, both grid bests; 2048² is a recorded negative — the
+        # i16 kernel crashes the compile helper at every limit >= 80 MiB).
+        # An explicit --temporal-k opts back into the streaming sweeps,
+        # mirroring the f32 path's escape hatch.
         res_plan = resident_pallas.auto_raised_plan(params, "i16")
         if res_plan is not None:
             _mb, _ = res_plan
@@ -813,19 +862,12 @@ def build_sharded_program(
                 "ca mode does not support open-seam row padding; use a "
                 "shard count that divides ny, or the sync/overlap variants"
             )
-        ca_resident = (
-            backend == "pallas"
-            and storage == "f32"
-            and not pad_cols
-            and resident_pallas.supports_ca_shard(nloc, nx, K_ca)
+        ca_engine = ca_engine_choice(
+            params, nloc, nx, K_ca, pad_cols=pad_cols,
+            storage=storage, backend=backend,
         )
-        if backend != "pallas" or not (
-            ca_resident
-            or temporal_pallas.supports_shard(
-                params, nloc, nx, K_ca,
-                clone_nx=nx - pad_cols if pad_cols else None,
-            )
-        ):
+        ca_resident = ca_engine == "resident"
+        if ca_engine is None:
             raise ValueError(
                 f"ca mode requires a K-sweep engine (the VMEM-resident "
                 f"extended-slab sweep or the temporal pallas slab sweep), "
@@ -1019,15 +1061,14 @@ def build_sharded_program(
     if mode == "ca":
         from lbm_tpu.ops import resident_pallas, temporal_pallas
 
-        # K_ca was fixed by the validation block above.  Engine choice:
-        # shards that fit the VMEM-resident extended-slab sweep
-        # (resident_pallas.supports_ca_shard — f32, lane-aligned, no clone
-        # columns) run the whole K-step exact schedule on-chip (~3x the
-        # streaming slab sweep's per-shard rate, round 4); everything else
-        # streams through the temporal slab sweep.  Both are bitwise-equal
-        # to K synchronous steps on fields; their av partials group rows
-        # differently (~1-ulp float-sum reordering, the documented
-        # temporal-kernel contract).
+        # K_ca and the engine were fixed by ca_engine_choice above: the
+        # streaming slab sweep wherever it maps (measured FASTER than the
+        # VMEM-resident extended-slab kernel at every shard shape both map
+        # — round-4 on-chip head-to-head, see ca_engine_choice), the
+        # resident kernel as the wider-coverage fallback / forced choice.
+        # Both are bitwise-equal to K synchronous steps on fields; their
+        # av partials group rows differently (~1-ulp float-sum reordering,
+        # the documented temporal-kernel contract).
         if ca_resident:
             ca_sweep = resident_pallas.make_ca_chunk_runner(
                 params, nloc, nx, K_ca, ny_global=ny

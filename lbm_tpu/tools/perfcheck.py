@@ -32,6 +32,10 @@ CHECKS = [
     ("4096x4096", "f32", 2000, 9000, "skewed temporal pair K=4 (DRAM, deep fold)"),
     ("2048x2048", "i16", 2000, 9000, "int16 storage path"),
     ("1024x1024", "i16", 4000, 8000, "int16 temporal K=4 (trapezoid)"),
+    # i16 in-place resident band (round 4): 1536² measured 18.5k @48MiB
+    # (the grid's best; streaming i16 trap K=2 was 15.5k) — half the band
+    # rate still sits above the streaming fallback's degraded readings.
+    ("1536x1536", "i16", 2000, 9000, "int16 in-place resident @48MiB"),
     # Fold auto-policy row (round 3): 8192² folds F=4 @2048 lanes and runs
     # skew K=4 at 14,733 MLUPS (fold-8 single-step was 4,183 same session).
     # Floor at half guards the policy itself — a return to fold-8 reads ~4k.

@@ -60,7 +60,7 @@ def _time_run(run, f0, n, steps, reps):
 
 
 def _run_case(n, steps, reps, mb, *, inplace=True, block_rows=None,
-              storage="f32", tag=""):
+              storage="f32", tag="", ablate=""):
     import jax.numpy as jnp
 
     from lbm_tpu.core import lattice
@@ -75,7 +75,7 @@ def _run_case(n, steps, reps, mb, *, inplace=True, block_rows=None,
         run = _HoistedJit(
             resident_pallas.make_run_all(
                 params, mask, steps, limit_mb=mb, inplace=inplace,
-                block_rows=block_rows, storage=storage,
+                block_rows=block_rows, storage=storage, _ablate=ablate,
             ),
             donate=False,
         )
@@ -127,6 +127,66 @@ def probe_i16(steps, reps):
                   tag=f"i16-inp  1024^2 B={b} limit=48M")
 
 
+def probe_ablate(steps, reps):
+    """Per-phase accounting of the flagship in-place kernel (VERDICT r3 #2):
+    surgically remove one cost at a time from the REAL kernel.  Ablated
+    kernels compute WRONG fields — timing only."""
+    n, mb = 1024, 48
+    b = int(os.environ.get("LBM_INP_ABL_B", "32"))
+    abls = os.environ.get(
+        "LBM_INP_ABLS",
+        ",;noav;nocarry;norot;nostream;nostream,noav,nocarry;avscalar",
+    ).split(";")
+    for abl in abls:
+        abl = abl.strip().strip(",")
+        _run_case(n, steps, reps, mb, block_rows=b, ablate=abl,
+                  tag=f"ablate   {n}^2 B={b} [{abl or 'baseline'}]")
+
+
+def probe_smallgrid(steps, reps):
+    """The 512² dip (VERDICT r3 #3): per-cell rate curve across the
+    monolithic band, mono limit variants, and the in-place kernel."""
+    for n in (256, 384, 512, 640, 768):
+        if (3 * 9 * n + n) * n * 4 <= 66 * 2**20:
+            for mb in (120, 48):
+                if mb == 48 and (3 * 9 * n + n) * n * 4 > 44 * 2**20:
+                    continue
+                _run_case(n, steps, reps, mb, inplace=False,
+                          tag=f"mono     {n}^2 limit={mb}M")
+        for b in (32, 64):
+            if n % b:
+                continue
+            _run_case(n, steps, reps, 48, block_rows=b,
+                      tag=f"inplace  {n}^2 B={b} limit=48M")
+
+
+def probe_limits(steps, reps):
+    """Does the scoped-VMEM LIMIT VALUE itself cost time?  The smallgrid
+    curve fits ~13 us/step of fixed cost at raised limits (256² mono@120:
+    18.6 us vs ~3 us at the default limit per the round-2/3 driver ledger).
+    Same kernel, same grid, only vmem_limit_bytes varies."""
+    from lbm_tpu.ops import resident_pallas
+
+    for n in (256, 512, 768):
+        for mb in (None, 24, 32, 48, 120):
+            if (3 * 9 * n + n) * n * 4 <= (mb or 16) * 2**20 * 0.95:
+                _run_case(n, steps, reps, mb, inplace=False,
+                          tag=f"mono     {n}^2 limit={mb or 'default'}")
+        for mb in (24, 32, 48):
+            need = resident_pallas._inplace_need_bytes(n, n, 32)
+            if need <= mb * 2**20:
+                _run_case(n, steps, reps, mb, block_rows=32,
+                          tag=f"inplace  {n}^2 B=32 limit={mb}M")
+
+
+def probe_i16edge(steps, reps):
+    """Bisect the i16 in-place compile ceiling: 1536² (43 MB, known good)
+    -> 1792² (61 MB) -> 2048² (80.2 MB, known HTTP-500)."""
+    for n, mb in ((1792, 88), (1536, 48)):
+        _run_case(n, steps, reps, mb, storage="i16",
+                  tag=f"i16-inp  {n}^2 B=auto limit={mb}M")
+
+
 def main() -> int:
     steps = int(os.environ.get("LBM_INP_STEPS", "2000"))
     reps = int(os.environ.get("LBM_INP_REPS", "3"))
@@ -140,6 +200,14 @@ def main() -> int:
         probe_bands(steps, reps)
     if "i16" in which:
         probe_i16(steps, reps)
+    if "ablate" in which:
+        probe_ablate(steps, reps)
+    if "smallgrid" in which:
+        probe_smallgrid(steps, reps)
+    if "i16edge" in which:
+        probe_i16edge(steps, reps)
+    if "limits" in which:
+        probe_limits(steps, reps)
     return 0
 
 

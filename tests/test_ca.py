@@ -399,23 +399,34 @@ def test_ca_resident_engine_matches_slab_sweep(ca_scene):
         )
 
 
-def test_plan_names_ca_engine(ca_scene):
+def test_plan_names_ca_engine(ca_scene, monkeypatch):
     from lbm_tpu.io.scene import Scene
     from lbm_tpu.models.plan import describe_plan
 
     params, mask = ca_scene
     scene = Scene(params=params, obstacles=mask)
-    # K=4 over 4 shards (8-row shards, ext 16): resident engine.
+    # Auto prefers the slab sweep wherever it maps (measured faster at
+    # every shard shape both engines map — round-4 on-chip head-to-head,
+    # modes.ca_engine_choice).
+    monkeypatch.delenv("LBM_CA_ENGINE", raising=False)
     plan = describe_plan(scene, RunConfig(
         variant="ca", num_devices=4, staleness=4, num_steps=8,
     ))
-    assert "ca engine: VMEM-resident extended-slab sweep" in plan
+    assert "ca engine: streaming temporal slab sweep" in plan
     assert "evidence:" in plan  # discipline-ordering provenance caveat
-    # K=2 (ext misaligned): falls back to the streaming slab sweep.
+    # LBM_CA_ENGINE forces the resident kernel (it maps at K=4: 8-row
+    # shards, ext 16) — the plan mirrors the forced routing.
+    monkeypatch.setenv("LBM_CA_ENGINE", "resident")
     plan2 = describe_plan(scene, RunConfig(
+        variant="ca", num_devices=4, staleness=4, num_steps=8,
+    ))
+    assert "ca engine: VMEM-resident extended-slab sweep" in plan2
+    # Forcing an engine that cannot map (resident needs ext-row alignment
+    # that K=2 breaks) predicts failure instead of silently rerouting.
+    plan3 = describe_plan(scene, RunConfig(
         variant="ca", num_devices=4, staleness=2, num_steps=8,
     ))
-    assert "ca engine: streaming temporal slab sweep" in plan2
+    assert "will FAIL" in plan3
 
 
 def test_build_init_false_skips_init_state(ca_scene, mesh4):

@@ -93,6 +93,18 @@ def test_auto_limit_ladder(monkeypatch):
     # 1536^2: 94.3 MB of refs crashed the compile helper at 88 — streaming.
     assert resident_pallas.auto_raised_plan(_sq(1536)) is None
     assert resident_pallas.auto_limit_mb(_sq(2048)) is None
+    # i16 band (round 4, measured): streams wherever f32 keeps a resident
+    # band (1024² i16 in-place 15.2-15.5k LOST to streaming i16 19.9k);
+    # in-place where f32 cannot map (1536²: 18.5k @48, 1792²: 19.7k @72 —
+    # both the grid bests); None again at 2048² (the i16 kernel crashes
+    # the compile helper at every limit >= 80, and 72 MiB of i16 state
+    # cannot fit under the 72 MiB band cap).
+    assert resident_pallas.auto_raised_plan(_sq(512), "i16") is None
+    assert resident_pallas.auto_raised_plan(_sq(1024), "i16") is None
+    assert resident_pallas.auto_raised_plan(_sq(1280), "i16") is None
+    assert resident_pallas.auto_raised_plan(_sq(1536), "i16") == (48, True)
+    assert resident_pallas.auto_raised_plan(_sq(1792), "i16") == (72, True)
+    assert resident_pallas.auto_raised_plan(_sq(2048), "i16") is None
     # A non-lane-aligned width never maps the resident kernels.
     assert resident_pallas.auto_limit_mb(_sq(1024).replace(nx=1000)) is None
     # Explicit env override takes precedence (the env drives every kernel).
@@ -182,8 +194,11 @@ def test_driver_falls_back_when_run_all_hook_declines():
 def test_inplace_resident_matches_blocked_bitwise():
     """The single-buffer in-place kernel (aliased state, carry rows for the
     overwritten block boundaries) is bitwise-identical on fields to the
-    ping-pong blocked kernel, and within float-sum reordering on av (block
-    partials group identically at equal B — exact there too)."""
+    ping-pong blocked kernel.  av partials differ by float-sum grouping:
+    since round 4 the in-place kernel accumulates a row-reduced lane
+    vector per block and lane-reduces once per step (measured 7.5 us/step
+    cheaper at 1024² than the per-block scalar reduction), so its av sums
+    in a different order than the blocked kernel's per-block scalars."""
     from lbm_tpu.core import lattice
     from lbm_tpu.ops import resident_pallas
 
@@ -199,8 +214,7 @@ def test_inplace_resident_matches_blocked_bitwise():
     f0 = f0 * (1 + 0.01 * rng.random((9, ny, nx), dtype=np.float32))
 
     # chunk 5 exercises the scan-of-chunks path AND a remainder chunk (13 =
-    # 2*5 + 3); B=8 matches force_blocked's block height, so even the av
-    # partial grouping is identical (bitwise av too).
+    # 2*5 + 3); B=8 matches force_blocked's block height.
     fb, avb = resident_pallas.make_run_all(
         params, mask, 13, chunk=5, force_blocked=True
     )(f0)
@@ -208,7 +222,14 @@ def test_inplace_resident_matches_blocked_bitwise():
         params, mask, 13, chunk=5, inplace=True, block_rows=8
     )(f0)
     np.testing.assert_array_equal(np.asarray(fi), np.asarray(fb))
-    np.testing.assert_array_equal(np.asarray(avi), np.asarray(avb))
+    np.testing.assert_allclose(np.asarray(avi), np.asarray(avb), rtol=1e-6)
+    # The legacy per-block scalar layout (ablate hook) IS bitwise on av.
+    fs, avs = resident_pallas.make_run_all(
+        params, mask, 13, chunk=5, inplace=True, block_rows=8,
+        _ablate="avscalar",
+    )(f0)
+    np.testing.assert_array_equal(np.asarray(fs), np.asarray(fb))
+    np.testing.assert_array_equal(np.asarray(avs), np.asarray(avb))
 
     # A different block height keeps fields bitwise; av reorders (~1 ulp).
     fi16, avi16 = resident_pallas.make_run_all(
