@@ -115,21 +115,26 @@ def _pick_variant(scene: Scene, config: RunConfig) -> str:
         return variant
     # Multi-device auto: use the mesh — the reference's default IS the
     # parallel binary (MPI/d2q9-bgk.c:130-331).  Discipline choice, from
-    # measurement (VERDICT r2 #4):
+    # measurement (VERDICT r2 #4, revised by the round-4 on-chip per-shard
+    # head-to-head, scripts/exp_ca_engine.py):
     #
-    # 1. DRAM-bound shards (per-shard working set > 80 MB): the EXACT
-    #    communication-avoiding mode where it maps.  In this regime the
-    #    temporal sweep is also the fastest single-chip kernel
-    #    (BENCHMARKS.md K-table: 2048^2 f32 14.5k vs 4.1k single-step) and
-    #    ca issues one K-deep exchange per K steps — the only
-    #    discipline-level win the op-count comparison shows
-    #    (scripts/exp_disciplines.py: amortized modes 1.2-2.4x sync on
-    #    collective-launch overhead; per-step disciplines within noise).
-    # 2. Cached-regime shards: ca's sweep kernel is SLOWER than the
-    #    single-step slab kernel (per-shard 9.5-11.4k vs ~15k,
-    #    BENCHMARKS.md ca section), so the per-step disciplines win: the
-    #    stale-fraction model (1.6% stale rows -> ~0.15% deviation, 3% ->
-    #    ~0.5%) picks the latency-hiding async discipline when its
+    # 1. The EXACT communication-avoiding mode wherever it maps.  The ca
+    #    K-sweep engines matched or beat the per-step slab kernel at EVERY
+    #    measured shard shape — cached regime included (128x1024: 13.2k
+    #    vs 12.5k single-step; 96x1024: 14.1-17.4k vs 11.6-13.9k;
+    #    1024x2048 DRAM: 13.5k vs 4.8k MLUPS/shard) — while issuing one
+    #    K-deep exchange per K steps, the only discipline-level win the
+    #    op-count comparison shows (scripts/exp_disciplines.py: amortized
+    #    modes 1.2-2.4x sync on collective-launch overhead; per-step
+    #    disciplines within noise).  Exact + fastest kernel + K-fold fewer
+    #    collectives dominates the lossy async discipline on every
+    #    measurable axis here (ICI latency hiding remains unmeasured —
+    #    one chip).  Exception: --debug with i16 (the multi-step i16
+    #    program cannot decompose per-step; auto must not pick a
+    #    configuration that raises).
+    # 2. Where ca cannot map (engine gates, open seams, jnp backend):
+    #    the stale-fraction model (1.6% stale rows -> ~0.15% deviation,
+    #    3% -> ~0.5%) picks the latency-hiding async discipline when its
     #    deviation stays comfortably inside the reference's 1% contract,
     #    else the bitwise-exact comm/compute-overlap discipline.
     n_dev = (
@@ -153,8 +158,8 @@ def _pick_variant(scene: Scene, config: RunConfig) -> str:
             else modes.STALENESS_DEFAULTS["ca"]
         )
         if (
-            shard_ws > 80 * 2**20
-            and config.backend != "jnp"
+            config.backend != "jnp"
+            and not (config.debug and config.storage == "i16")
             and modes.ca_supported(
                 params, scene.obstacles, n_dev, ca_stal, config.storage
             )

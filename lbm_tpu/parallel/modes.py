@@ -225,14 +225,26 @@ def ca_engine_choice(
     None when neither maps (ca unsupported).
 
     Shared by the mode builder and ``--plan``.  ``LBM_CA_ENGINE`` forces an
-    engine (``slab`` / ``resident``).  Auto prefers the SLAB — the round-4
-    on-chip head-to-head (scripts/exp_ca_engine.py, healthy session,
-    frozen-ghost kernel rates) measured it faster at every shard shape
-    both engines map: 128x1024 K=4 slab 13.2k vs resident 10.3k
-    MLUPS/shard, 256x2048 K=4 16.1k vs 10.0k.  The resident engine is the
-    fallback for shards the slab's gates reject (e.g. its accel_row >= K
-    constraint — the resident sweep recomputes every ghost row's levels
-    directly), and stays forceable for certification.
+    engine (``slab`` / ``resident``).  Auto follows the round-4 on-chip
+    head-to-head (scripts/exp_ca_engine.py, healthy session, frozen-ghost
+    kernel rates, MLUPS/shard):
+
+    | shard      | resident | slab  | winner  |
+    |------------|----------|-------|---------|
+    | 64x1024 K4 | 10.8k    | 10.0k | resident|
+    | 96x1024 K4 | 14.1k    | 12.2k | resident|
+    | 96x1024 K8 | 17.4k    | 15.5k | resident|
+    | 112x1024 K4| 14.6k    | 11.5k | resident|
+    | 128x1024 K4| 10.3k    | 13.2k | slab    |
+    | 64x2048 K4 | 10.7k    | 12.7k | slab    |
+    | 256x2048 K4| 10.0k    | 16.1k | slab    |
+
+    i.e. the resident extended-slab kernel wins NARROW shards (<= 1024
+    lanes) up to ~112 rows — above either edge its rate collapses — so
+    auto picks it inside that box and the streaming slab everywhere else.
+    Each engine is also the other's fallback where one cannot map (the
+    slab's accel_row >= K gate, the resident kernel's f32/no-clone-column
+    gates), and both stay forceable for certification.
     """
     import os
 
@@ -253,10 +265,10 @@ def ca_engine_choice(
         return "slab" if slab_ok else None
     if forced == "resident":
         return "resident" if res_ok else None
+    if res_ok and (not slab_ok or (nloc <= 112 and nx <= 1024)):
+        return "resident"
     if slab_ok:
         return "slab"
-    if res_ok:
-        return "resident"
     return None
 
 

@@ -150,10 +150,13 @@ def test_chunked_arbitrary_step_count_runs_sync_tail(ca_scene):
     assert np.all(np.isfinite(res.av_vels))
 
 
-def test_auto_prefers_ca_on_dram_bound_shards():
-    """VERDICT r2 #4: the multi-device auto policy picks the exact
-    comm-avoiding discipline when the per-shard working set is DRAM-bound
-    and ca maps; cached-regime shards keep the async/overlap rule."""
+def test_auto_prefers_ca_wherever_it_maps():
+    """Round-4 policy (scripts/exp_ca_engine.py head-to-head): the ca
+    K-sweep engines matched or beat the per-step slab kernel at every
+    measured shard shape, so the multi-device auto policy picks the exact
+    comm-avoiding discipline wherever it maps — cached regime included —
+    and falls back to the stale-fraction async/overlap rule only where it
+    cannot."""
     from lbm_tpu.io.scene import Scene
     from lbm_tpu.models.driver import _pick_variant
 
@@ -167,13 +170,24 @@ def test_auto_prefers_ca_on_dram_bound_shards():
     scene = Scene(params=params, obstacles=mask)
     assert _pick_variant(scene, RunConfig(num_devices=4)) == "ca"
 
-    # Cached regime (128-row shards over 512 cols): stale fraction
-    # 2*4/512 = 1.6% <= 3% -> async, as before.
+    # Cached regime (128-row shards over 512 cols): ca maps -> ca since
+    # round 4 (it measured 13.2k vs the per-step kernel's 12.5k even at
+    # cached 128-row shards, and it is EXACT where async deviates).
     params_s = params.replace(ny=512, nx=512)
     mask_s = np.zeros((512, 512), dtype=bool)
     mask_s[0, :] = mask_s[-1, :] = True
     scene_s = Scene(params=params_s, obstacles=mask_s)
-    assert _pick_variant(scene_s, RunConfig(num_devices=4)) == "async"
+    assert _pick_variant(scene_s, RunConfig(num_devices=4)) == "ca"
+    # --debug + i16 cannot decompose the multi-step i16 ca program, so
+    # auto must not pick a configuration that raises.
+    picked = _pick_variant(
+        scene_s, RunConfig(num_devices=4, storage="i16", debug=True)
+    )
+    assert picked in ("async", "overlap")
+    # Non-lane-aligned widths still map ca via clone-column padding; the
+    # genuine fallbacks (shards below the sweep minimum, --backend jnp)
+    # are covered by test_ca_supported_mirrors_build_gate,
+    # test_auto_with_jnp_backend_never_picks_ca, and the driver tests.
 
 
 def test_ca_supported_mirrors_build_gate(ca_scene, mesh4):
@@ -405,24 +419,25 @@ def test_plan_names_ca_engine(ca_scene, monkeypatch):
 
     params, mask = ca_scene
     scene = Scene(params=params, obstacles=mask)
-    # Auto prefers the slab sweep wherever it maps (measured faster at
-    # every shard shape both engines map — round-4 on-chip head-to-head,
-    # modes.ca_engine_choice).
+    # Auto picks per the measured win boxes (modes.ca_engine_choice):
+    # these 8-row x 128-lane shards sit inside the resident-win box
+    # (narrow shards <= 112 rows).
     monkeypatch.delenv("LBM_CA_ENGINE", raising=False)
     plan = describe_plan(scene, RunConfig(
         variant="ca", num_devices=4, staleness=4, num_steps=8,
     ))
-    assert "ca engine: streaming temporal slab sweep" in plan
+    assert "ca engine: VMEM-resident extended-slab sweep" in plan
     assert "evidence:" in plan  # discipline-ordering provenance caveat
-    # LBM_CA_ENGINE forces the resident kernel (it maps at K=4: 8-row
-    # shards, ext 16) — the plan mirrors the forced routing.
-    monkeypatch.setenv("LBM_CA_ENGINE", "resident")
+    # LBM_CA_ENGINE forces the slab sweep (the measured winner at wide or
+    # >112-row shards) — the plan mirrors the forced routing.
+    monkeypatch.setenv("LBM_CA_ENGINE", "slab")
     plan2 = describe_plan(scene, RunConfig(
         variant="ca", num_devices=4, staleness=4, num_steps=8,
     ))
-    assert "ca engine: VMEM-resident extended-slab sweep" in plan2
+    assert "ca engine: streaming temporal slab sweep" in plan2
     # Forcing an engine that cannot map (resident needs ext-row alignment
     # that K=2 breaks) predicts failure instead of silently rerouting.
+    monkeypatch.setenv("LBM_CA_ENGINE", "resident")
     plan3 = describe_plan(scene, RunConfig(
         variant="ca", num_devices=4, staleness=2, num_steps=8,
     ))

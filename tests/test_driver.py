@@ -399,21 +399,29 @@ def test_resumed_mlups_counts_only_new_steps(scene, tmp_path):
 
 
 def test_auto_uses_mesh_when_multi_device(small_params, small_obstacles):
-    """VERDICT r1 #4: auto on a multi-device host picks a sharded variant —
-    async when the stale-fraction model keeps deviation well inside the 1%
-    contract, the bitwise-exact overlap discipline otherwise."""
+    """VERDICT r1 #4 + round-4 revision: auto on a multi-device host picks
+    a sharded variant — the exact comm-avoiding discipline wherever its
+    K-sweep engines map (measured at-or-above the per-step kernel at every
+    shard shape, scripts/exp_ca_engine.py), else async when the
+    stale-fraction model keeps deviation well inside the 1% contract, the
+    bitwise-exact overlap discipline otherwise."""
     from lbm_tpu.io.scene import Scene
     from lbm_tpu.models.driver import _pick_variant
 
-    # 16 rows over 8 devices: 100% stale-row exposure -> exact overlap.
+    # 16 rows over 8 devices: 2-row shards are below the ca sweep minimum,
+    # and 100% stale-row exposure rules async out -> exact overlap.
     scene = Scene(params=small_params, obstacles=small_obstacles)
     assert _pick_variant(scene, RunConfig()) == "overlap"
-    # 2048 rows over 8 devices: 0.8% exposure (~0.1% deviation) -> async.
+    # 2048 rows over 8 devices: ca maps (clone-column padding covers the
+    # 16-lane width) -> the exact amortized discipline since round 4.
     big = small_params.replace(ny=2048, nx=16)
     scene_big = Scene(
         params=big, obstacles=np.zeros((2048, 16), dtype=bool)
     )
-    assert _pick_variant(scene_big, RunConfig()) == "async"
+    assert _pick_variant(scene_big, RunConfig()) == "ca"
+    # With ca ruled out (--backend jnp), the stale-fraction rule applies:
+    # 0.8% exposure (~0.1% deviation) -> async.
+    assert _pick_variant(scene_big, RunConfig(backend="jnp")) == "async"
     # Explicit single device keeps the single-chip policy (16x16 fits the
     # VMEM-resident kernel, so the pallas path is chosen).
     assert _pick_variant(scene, RunConfig(num_devices=1)) == "pallas"
