@@ -65,21 +65,20 @@ def auto_raised_plan(
     """(limit_mb, inplace) for the raised-VMEM auto regime, or None
     (default-limit behavior / streaming territory).
 
-    Measured ladder (round 3, scripts/exp_vmemlimit.py + the in-place
-    session):
+    Measured ladder (rounds 3-4, scripts/exp_vmemlimit.py +
+    scripts/exp_inplace.py + driver full-run A/Bs):
 
-    - **120 MiB, monolithic band** (3x state + mask <= 66 MB): 768² ran
-      17.2k MLUPS vs the 15.2k best-ever skew pair (measured on a HEALTHY
-      session — the resident kernel beats the ledger best while degraded);
-      512² 12.1k vs 10.7k-session-equivalent block rates.  Compiles clean
-      at 120 MiB up to this band.
     - **In-place single-buffer band** (1x state + mask + temps, raw-MiB
-      model — _inplace_need_bytes): 48 MiB where it fits (1024² B=32:
-      **22.3-22.7k MLUPS**, +13% over the ping-pong blocked kernel's
-      18.3-19.8k, and far below the compile-crash zone), else 88 MiB for
-      refs up to the 81 MB verified ceiling (1280²-class).  Lower limits
-      measured FASTER at the same config (48: 22.3k, 56: 21.0-22.3k,
-      64: 21.9k, 88: 21.3k).
+      model — _inplace_need_bytes): 48 MiB where it fits, else 88 MiB for
+      refs up to the 81 MB verified ceiling (1280²-class).  The auto
+      choice for EVERY raised-band grid since round 4: healthy-session
+      driver full runs measured 512² **24.8k** / 768² **26.6k** / 1024²
+      **27.0k** MLUPS, above the monolithic band at each (23.3k / 25.3k /
+      n.a.).  Lower limits measured FASTER at the same config (48: 22.3k,
+      56: 21.0-22.3k, 64: 21.9k, 88: 21.3k, round-3 probe session).
+    - **120 MiB, monolithic band** (3x state + mask <= 66 MB): the
+      fallback where in-place cannot map, and forceable for A/Bs
+      (LBM_RESIDENT_KIND=mono).  Compiles clean at 120 MiB up to its band.
     - **88 MiB, ping-pong blocked band** (2x state + mask + temps <=
       81 MB): retained as the fallback the in-place band strictly
       dominates (1x always fits where 2x does).  96 MiB and above CRASH
@@ -137,8 +136,21 @@ def auto_raised_plan(
                 continue  # evaluate the wider band independently
             return mb, True
         return None
+    import os
+
+    # LBM_RESIDENT_KIND forces the raised band's kernel family
+    # ("mono" / "inplace"; A/B escape hatch, same pattern as
+    # LBM_TEMPORAL_IMPL / LBM_CA_ENGINE).  Auto prefers IN-PLACE
+    # everywhere it fits since round 4: the healthy-session driver
+    # full-run A/B measured it above the monolithic band at both
+    # sub-flagship grids (512²: 24.8k vs 23.3k; 768²: 26.6k vs 25.3k
+    # MLUPS — the round-3 16.4k/21.0k ledger rows were ~2x-degraded
+    # sessions, and the "512² dip" was that artifact, not a kernel
+    # property).
+    kind = os.environ.get("LBM_RESIDENT_KIND", "auto").strip().lower()
     mono = (3 * NS * ny + ny) * nx * 4
-    if mono <= 66 * 2**20 and _fits(ny, nx, ny, 120):
+    mono_ok = mono <= 66 * 2**20 and _fits(ny, nx, ny, 120)
+    if kind == "mono" and mono_ok:
         return 120, False
     for mb in (48, 88):
         if not _inplace_fits(ny, nx, mb):
@@ -150,6 +162,8 @@ def auto_raised_plan(
         except ValueError:
             continue  # evaluate the wider band independently
         return mb, True
+    if mono_ok:
+        return 120, False  # in-place never fit but 3x state does: mono
     blocked = (2 * NS * ny + ny) * nx * 4 + _blocked_temp_bytes(8, nx)
     if blocked <= 81 * 2**20 and _blocked_fits(ny, nx, 88):
         return 88, False
@@ -469,13 +483,18 @@ def _blocked_chunk_kernel(
             r0 = i * B
             obst_blk = obst_ref[r0 : r0 + B, :] != F32(0.0)
             streamed = [window(k, r0) for k in range(NS)]
-            out, partial = stencil_math.collide_and_av(
+            # Row-reduced av partials (round 4): per-block SCALAR |u|
+            # reductions cost the in-place kernel 7.5 us/step at 1024^2
+            # B=32 (cross-lane shuffles once per block); accumulate (1, nx)
+            # lane vectors instead and lane-reduce ONCE per step.  Fields
+            # bitwise; av grouping = the documented temporal contract.
+            out, partial = stencil_math.collide_and_av_rows(
                 streamed, obst_blk, F32(omega)
             )
             for k in range(NS):
                 dst[k, r0 : r0 + B, :] = out[k]
             tot = partial if tot is None else tot + partial
-        av_ref[t, 0] = tot
+        av_ref[t, 0] = jnp.sum(tot, dtype=F32)
 
     pairs = chunk // 2
 

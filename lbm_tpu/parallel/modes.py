@@ -391,11 +391,11 @@ def build_single_program(
             resident_pallas.auto_raised_plan(params) is not None
         ):
             # Raised-limit resident regime (measured bands, TPU only):
-            # 768² monolithic @120 MiB ran 17.2k MLUPS on a ~2x-degraded
-            # session vs the 15.2k best-ever skew pair; the 1024²-class
-            # band runs the single-buffer IN-PLACE kernel (22.3-22.7k vs
-            # the ping-pong blocked kernel's 18.3-19.8k, B=32 @48 MiB).
-            # See resident_pallas.auto_raised_plan for the compile-safe
+            # the single-buffer IN-PLACE kernel everywhere it fits since
+            # round 4 (healthy-session driver full runs: 512² 24.8k, 768²
+            # 26.6k, 1024² 27.0k MLUPS — each above the monolithic band),
+            # monolithic @120 as the fallback/forced alternative.  See
+            # resident_pallas.auto_raised_plan for the compile-safe
             # ladder.  An explicit --temporal-k opts back into the
             # streaming sweeps.
             _res_mb, _res_inplace = resident_pallas.auto_raised_plan(params)

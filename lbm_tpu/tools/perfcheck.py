@@ -27,7 +27,10 @@ CHECKS = [
     # resident kernels are largely degradation-immune — half the band's
     # low end still cleanly separates it from the ~17k streaming fallback.
     ("1024x1024", "f32", 4000, 10000, "in-place resident B=32 @48MiB (flagship)"),
-    ("512x512", "f32", 4000, 8000, "monolithic resident @120MiB"),
+    # Round 4: the in-place band took the sub-flagship grids too (512²
+    # 24.8k driver full-run; floor stays at half the old mono-band rate —
+    # still far above any streaming fallback).
+    ("512x512", "f32", 4000, 8000, "in-place resident @48MiB"),
     ("2048x2048", "f32", 2000, 7500, "skewed temporal pair K=8 (DRAM)"),
     ("4096x4096", "f32", 2000, 9000, "skewed temporal pair K=4 (DRAM, deep fold)"),
     ("2048x2048", "i16", 2000, 9000, "int16 storage path"),

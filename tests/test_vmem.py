@@ -74,9 +74,11 @@ def _sq(n):
 
 def test_auto_limit_ladder(monkeypatch):
     """The measured raised-limit ladder (resident_pallas.auto_raised_plan):
-    120 MiB monolithic band through 768^2, 48 MiB in-place single-buffer
-    band at 1024^2 (B=32, round-3 measured 22.3-22.7k MLUPS), None beyond;
-    gated to TPU and to no explicit env override."""
+    48 MiB in-place single-buffer band everywhere it fits (round-4 driver
+    A/B: it beat the monolithic band at 512²/768² and runs the 1024²
+    flagship at 27.0k MLUPS), the 120 MiB monolithic band as fallback /
+    forced alternative, None beyond the ceilings; gated to TPU and to no
+    explicit env override."""
     import jax
 
     from lbm_tpu.ops import resident_pallas
@@ -84,8 +86,15 @@ def test_auto_limit_ladder(monkeypatch):
     monkeypatch.delenv("LBM_VMEM_LIMIT_MB", raising=False)
     monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
     assert resident_pallas.auto_limit_mb(_sq(128)) is None  # default covers
+    # In-place everywhere it fits since round 4 (driver full-run A/B:
+    # 512² 24.8k vs mono 23.3k, 768² 26.6k vs 25.3k); LBM_RESIDENT_KIND
+    # forces the monolithic band.
+    assert resident_pallas.auto_raised_plan(_sq(512)) == (48, True)
+    assert resident_pallas.auto_raised_plan(_sq(768)) == (48, True)
+    monkeypatch.setenv("LBM_RESIDENT_KIND", "mono")
     assert resident_pallas.auto_raised_plan(_sq(512)) == (120, False)
     assert resident_pallas.auto_raised_plan(_sq(768)) == (120, False)
+    monkeypatch.delenv("LBM_RESIDENT_KIND")
     assert resident_pallas.auto_raised_plan(_sq(1024)) == (48, True)
     assert resident_pallas._pick_inplace_block_rows(1024, 1024, 48) == 32
     # 1280^2-class: too big for 48 MiB but inside the 81 MB ref ceiling.
@@ -223,13 +232,15 @@ def test_inplace_resident_matches_blocked_bitwise():
     )(f0)
     np.testing.assert_array_equal(np.asarray(fi), np.asarray(fb))
     np.testing.assert_allclose(np.asarray(avi), np.asarray(avb), rtol=1e-6)
-    # The legacy per-block scalar layout (ablate hook) IS bitwise on av.
+    # The legacy per-block scalar layout (ablate hook) keeps fields
+    # bitwise; av regroups (the blocked kernel also row-reduces since
+    # round 4, so neither product path sums per-block scalars anymore).
     fs, avs = resident_pallas.make_run_all(
         params, mask, 13, chunk=5, inplace=True, block_rows=8,
         _ablate="avscalar",
     )(f0)
     np.testing.assert_array_equal(np.asarray(fs), np.asarray(fb))
-    np.testing.assert_array_equal(np.asarray(avs), np.asarray(avb))
+    np.testing.assert_allclose(np.asarray(avs), np.asarray(avb), rtol=1e-6)
 
     # A different block height keeps fields bitwise; av reorders (~1 ulp).
     fi16, avi16 = resident_pallas.make_run_all(
