@@ -217,7 +217,10 @@ def describe_plan(scene: Scene, config) -> str:
                     params, nloc_pad, nx + pad_cols, K_ca,
                     pad_cols=pad_cols, storage=config.storage,
                 )
-                if eng == "resident":
+                if eng == "inplace":
+                    out(f"ca engine: in-place blocked resident sweep "
+                        f"({nloc_pad}+2x{K_ca} rows on-chip, single buffer)")
+                elif eng == "resident":
                     out(f"ca engine: VMEM-resident extended-slab sweep "
                         f"({nloc_pad}+2x{K_ca} rows on-chip per sweep)")
                 else:

@@ -1195,3 +1195,298 @@ def make_ca_chunk_runner(
         return new_ext[:, K : K + nloc, :], av[:, 0]
 
     return run_sweep
+
+
+# --- in-place blocked exact-ca sweep: resident ca at grid-kernel rates ------
+#
+# The monolithic _ca_ext_kernel above holds TWO extended-slab states plus
+# full-slab per-step temporaries, which (a) caps it at small shards and
+# (b) collapses its rate past ~112 rows (measured, ca_engine_choice's table)
+# for the same reason the grid-level monolithic band loses to the in-place
+# blocked kernel: Mosaic schedules huge single-block ops poorly.  This
+# variant runs the SAME shrinking-validity schedule with the in-place
+# single-buffer block structure of _inplace_blocked_kernel — 1x ext state
+# via input_output_aliases, O(B)-row temporaries, carry rows, row-reduced
+# av partials — so the engine maps shards up to ~1024x2048 and steps them
+# at grid-kernel rates.
+#
+# The one structural difference from the grid kernel: under shard_map the
+# driven row's position in the extended slab is a RUNTIME value (row_offset
+# differs per shard while the compiled program is shared), so the grid
+# kernel's static window substitution cannot express the injection.
+# Instead:
+#   - positional one-hot masks mark the driven row (and its wrap-shifted
+#     images, one per streaming offset cy) from the row_offset scalar;
+#   - the driven row's current planes live in a (16, nx) VMEM scratch,
+#     seeded at sweep start by a masked sublane sum (the mask has at most
+#     one live row — gated by ext <= ny_global — so the sum IS that row,
+#     bitwise) and refreshed each step by the one block that stores it
+#     (pl.when on a per-block predicate; the captured values are already
+#     live block outputs, no extra VMEM reads);
+#   - each window substitutes the accel-adjusted row where its positional
+#     mask fires (jnp.where with the (B, 1) mask), which reproduces the
+#     monolithic kernel's full-slab masked accel_planes values bitwise.
+#     Planes the injection leaves unchanged (0, 2, 4) skip the select.
+#
+# Fields are bitwise-equal to _ca_ext_kernel on every slab row each step
+# (same stencil_math ops over the same values — the in-place schedule
+# reproduces the pure periodic step exactly, as the grid kernel proves),
+# hence bitwise-equal to K synchronous exchanged steps on the central
+# rows.  The |u| partial masks to the central rows (each cell counted by
+# exactly ONE shard) and accumulates row-reduced lane vectors like the
+# round-4 grid kernel (float-sum grouping differs from the monolithic
+# engine's whole-slab sum — the documented ~1-ulp av contract).
+
+
+def _ca_inplace_need(ext: int, nx: int, b: int) -> int:
+    # _inplace_need_bytes + the (16, nx) driven-row scratch.
+    return _inplace_need_bytes(ext, nx, b) + 16 * nx * 4
+
+
+def _ca_inplace_limit(nloc: int, nx: int, K: int) -> int | None:
+    """Scoped-VMEM limit for the in-place ca sweep: 0 (default limit) when
+    the 1x-extended-state + minimal-block budget fits 16 MiB, else the
+    smallest verified raised band (lower limits measured FASTER at equal
+    config on the grid kernel), else None."""
+    need = _ca_inplace_need(nloc + 2 * K, nx, 8)
+    for mb in (vmem.DEFAULT_LIMIT_MB, 48, 72, 88):
+        if need <= min(mb * 2**20, _INPLACE_REF_CEILING):
+            return 0 if mb == vmem.DEFAULT_LIMIT_MB else mb
+    return None
+
+
+def _ca_pick_block_rows(ext: int, nx: int, limit_mb: int | None) -> int:
+    """Largest fitting 8-aligned divisor of ext up to 40 rows (the grid
+    kernel's measured B=32-class optimum; ext is rarely 32-divisible)."""
+    cap = min(vmem.limit_mb(limit_mb) * 2**20, _INPLACE_REF_CEILING)
+    best = None
+    for b in range(8, min(ext, 40) + 1, 8):
+        if ext % b:
+            continue
+        if _ca_inplace_need(ext, nx, b) <= cap:
+            best = b
+        else:
+            break
+    if best is None:
+        raise ValueError(
+            f"no row block of a {ext}x{nx} extended slab fits the in-place "
+            "ca VMEM headroom"
+        )
+    return best
+
+
+def supports_ca_inplace(nloc: int, nx: int, K: int, ny_global: int) -> bool:
+    """Whether the in-place blocked ca sweep maps an nloc-row shard at
+    depth K.  ``ext <= ny_global`` guarantees the driven row has at most
+    one image in the extended slab (the one-hot extraction's contract)."""
+    ext = nloc + 2 * K
+    return (
+        K >= 2
+        and nx % LANE == 0
+        and nloc % 8 == 0
+        and ext % 8 == 0
+        and nloc >= K
+        and ext <= ny_global
+        and _ca_inplace_limit(nloc, nx, K) is not None
+    )
+
+
+def _ca_inplace_kernel(
+    row_off_ref,  # (1, 1) int32 SMEM: global row of local row 0
+    fin_ref,  # (9, ext, nx) VMEM in — ALIASED into f_ref; never touched
+    obst_ref,  # (ext, nx) f32 VMEM in (K-deep ghost-extended)
+    f_ref,  # (9, ext, nx) VMEM out == the live slab, updated in place
+    av_ref,  # (K, 1) f32 SMEM out
+    ar_ref,  # (16, nx) f32 VMEM scratch: rows 0-8 = driven-row planes
+    *,
+    K: int,
+    nloc: int,
+    block_rows: int,
+    ny_global: int,
+    omega: float,
+    accel_row: int,
+    w1a: float,
+    w2a: float,
+):
+    del fin_ref  # aliased into f_ref (one name => Mosaic sees every
+    # read-write dependency in program order)
+    B = block_rows
+    ext = nloc + 2 * K
+    nb = ext // B
+    iota = jax.lax.broadcasted_iota(jnp.int32, (ext, 1), 0)
+    base = row_off_ref[0, 0] - K
+
+    def _arow(shift: int):
+        # arow shifted by a streaming offset WITH the in-slab wrap: window
+        # row r of a block holds source row (r - cy) mod ext, so the mask a
+        # cy-offset window needs at row r is arow[(r - cy) mod ext].
+        jm = jnp.remainder(iota - shift, ext)
+        return jnp.remainder(base + jm, ny_global) == accel_row
+
+    arow = _arow(0)
+    m_cy = {-1: _arow(-1), 0: arow, 1: _arow(1)}
+    arow_f = arow.astype(F32)
+    central = (iota >= K) & (iota < K + nloc)
+    fluid_ar = (
+        jnp.sum(obst_ref[...] * arow_f, axis=0, keepdims=True) == F32(0.0)
+    )
+    ar_mask = jnp.full((1, 1), True)
+    has_ar = [
+        jnp.sum(arow_f[i * B : (i + 1) * B]) > F32(0.0) for i in range(nb)
+    ]
+
+    # Seed the driven-row scratch from the sweep-start slab (one-hot
+    # extraction: at most one live mask row, so the masked sum IS the row).
+    for k in range(NS):
+        ar_ref[k : k + 1, :] = jnp.sum(
+            f_ref[k] * arow_f, axis=0, keepdims=True
+        )
+
+    def one_step(t):
+        planes_ar = [ar_ref[k : k + 1, :] for k in range(NS)]
+        adj = stencil_math.accel_planes(
+            planes_ar, fluid_ar, ar_mask, F32(w1a), F32(w2a)
+        )
+        # Old row 0: block nb-1's wrap read after block 0 overwrote it.
+        save0 = [f_ref[k, 0:1, :] for k in range(NS)]
+        carry = None  # old row r0-1 for the current block (value)
+
+        def window(k, r0, carry_k):
+            # Same assembly as _inplace_blocked_kernel minus the static
+            # accel substitution (the driven row is positional here).
+            cy = lattice.CY[k]
+            parts = []
+            run_start = None
+            for j in range(r0 - cy, r0 + B - cy):
+                jm = j % ext
+                single = jm != j or j == r0 - 1
+                if single:
+                    if run_start is not None:
+                        parts.append(f_ref[k, run_start:j, :])
+                        run_start = None
+                    if j == ext:  # wrap above the top block: old row 0
+                        parts.append(save0[k])
+                    elif j == r0 - 1 and r0 > 0:  # overwritten below-row
+                        parts.append(carry_k)
+                    else:  # j == -1 -> old row ext-1 (still old at block 0)
+                        parts.append(f_ref[k, jm : jm + 1, :])
+                elif run_start is None:
+                    run_start = j
+            if run_start is not None:
+                parts.append(f_ref[k, run_start : r0 + B - cy, :])
+            if len(parts) == 1 and lattice.CX[k] != 0:
+                p = parts[0]  # Mosaic: canonical layout for the rotation
+                parts = [p[:-1], p[-1:]]
+            w = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=0)
+            # Dynamic driven-row injection: substitute the accel-adjusted
+            # row wherever this window's positional mask fires — the exact
+            # values the monolithic kernel's masked accel_planes produces.
+            if k not in (0, 2, 4):  # injection leaves 0/2/4 unchanged
+                w = jnp.where(m_cy[cy][r0 : r0 + B], adj[k], w)
+            return fused_pallas._roll_x(w, lattice.CX[k])
+
+        tot = None
+        for i in range(nb):
+            r0 = i * B
+            obst_blk = obst_ref[r0 : r0 + B, :] != F32(0.0)
+            streamed = [
+                window(k, r0, carry[k] if carry else None) for k in range(NS)
+            ]
+            # Old top row of this block — the next block's below-row.
+            carry = [f_ref[k, r0 + B - 1 : r0 + B, :] for k in range(NS)]
+            out, partial = stencil_math.collide_and_av_rows(
+                streamed, obst_blk, F32(omega),
+                row_mask=central[r0 : r0 + B],
+            )
+            for k in range(NS):
+                f_ref[k, r0 : r0 + B, :] = out[k]
+
+            # Refresh the driven-row scratch from the block that stores it
+            # (post-step values feed the NEXT step's injection).  Only that
+            # block executes the masked extraction; the operands are its
+            # already-live outputs.
+            @pl.when(has_ar[i])
+            def _(out=out, r0=r0):
+                sl = arow_f[r0 : r0 + B]
+                for k in range(NS):
+                    ar_ref[k : k + 1, :] = jnp.sum(
+                        out[k] * sl, axis=0, keepdims=True
+                    )
+
+            tot = partial if tot is None else tot + partial
+        av_ref[t, 0] = jnp.sum(tot, dtype=F32)
+
+    def body(t, _):
+        one_step(t)
+        return 0
+
+    lax.fori_loop(0, K, body, 0)
+
+
+def make_ca_inplace_runner(
+    params: LBMParams,
+    nloc: int,
+    nx: int,
+    K: int,
+    ny_global: int,
+    interpret: bool | None = None,
+    block_rows: int | None = None,
+):
+    """Build the in-place blocked exact-ca per-shard sweep:
+    ``(f, ghost_lo (9,K,nx), ghost_hi (9,K,nx), obst_ext, row_offset)
+    -> (f', tot_u (K,))`` — drop-in for make_ca_chunk_runner /
+    temporal_pallas.make_slab_sweep."""
+    if not supports_ca_inplace(nloc, nx, K, ny_global):
+        raise ValueError(
+            f"shard {nloc}x{nx} at depth K={K} does not fit the in-place "
+            "ca sweep"
+        )
+    if interpret is None:
+        interpret = _use_interpret()
+    limit = _ca_inplace_limit(nloc, nx, K) or None
+    ext = nloc + 2 * K
+    w1a, w2a = lattice.accel_weights(params.density, params.accel)
+    kernel = functools.partial(
+        _ca_inplace_kernel,
+        K=K,
+        nloc=nloc,
+        block_rows=block_rows or _ca_pick_block_rows(ext, nx, limit),
+        ny_global=ny_global,
+        omega=float(params.omega),
+        accel_row=params.accel_row,
+        w1a=float(w1a),
+        w2a=float(w2a),
+    )
+    call = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((NS, ext, nx), jnp.float32),
+            jax.ShapeDtypeStruct((K, 1), jnp.float32),
+        ),
+        input_output_aliases={1: 0},
+        scratch_shapes=[pltpu.VMEM((16, nx), jnp.float32)],
+        interpret=interpret,
+        **vmem.compiler_params(limit),
+        cost_estimate=pl.CostEstimate(
+            flops=K * 130 * ext * nx,
+            bytes_accessed=2 * NS * ext * nx * 4,
+            transcendentals=K * ext * nx,
+        ),
+    )
+
+    def run_sweep(f, ghost_lo, ghost_hi, obst_ext, row_offset):
+        row_off = jnp.asarray(row_offset, dtype=jnp.int32).reshape(1, 1)
+        ext_f = jnp.concatenate([ghost_lo, f, ghost_hi], axis=1)
+        new_ext, av = call(row_off, ext_f, obst_ext.astype(jnp.float32))
+        return new_ext[:, K : K + nloc, :], av[:, 0]
+
+    return run_sweep

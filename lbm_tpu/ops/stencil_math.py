@@ -121,7 +121,7 @@ def collide_and_av(streamed, obst, omega):
     return out, speed_sum(u_sq, fluid)
 
 
-def collide_and_av_rows(streamed, obst, omega):
+def collide_and_av_rows(streamed, obst, omega, row_mask=None):
     """collide_and_av with the |u| partial reduced over ROWS only.
 
     Returns (9 planes, (1, nx) lane vector).  On the TPU VPU the sublane
@@ -130,11 +130,18 @@ def collide_and_av_rows(streamed, obst, omega):
     and lane-reduce ONCE per step (measured: the per-block scalar
     reduction cost the in-place kernel 7.5 us/step at 1024², 13% — round-4
     ablation, BENCHMARKS.md Rooflines).  Same values as collide_and_av up
-    to float-sum reordering (the documented av-partial grouping contract)."""
+    to float-sum reordering (the documented av-partial grouping contract).
+
+    ``row_mask`` (rows, 1) bool, optional: rows excluded from the |u|
+    partial (ghost-extended slabs count only their central rows — the
+    in-place ca engine, ops/resident_pallas._ca_inplace_kernel); fields
+    are unaffected."""
     rho, u_x, u_y = moments(streamed)
     u_sq = u_x * u_x + u_y * u_y
     out = collide(streamed, obst, omega, rho, u_x, u_y, u_sq)
     fluid = jnp.logical_not(obst)
+    if row_mask is not None:
+        fluid = fluid & row_mask
     vec = jnp.sum(
         jnp.where(fluid, jnp.sqrt(u_sq), F32(0.0)),
         axis=0, keepdims=True, dtype=F32,

@@ -220,12 +220,16 @@ def ca_engine_choice(
 ) -> str | None:
     """Which K-sweep engine backs the exact ca discipline for this shard
     shape: ``'slab'`` (streaming temporal slab sweep,
-    ops/temporal_pallas.make_slab_sweep), ``'resident'`` (VMEM-resident
-    extended-slab kernel, ops/resident_pallas.make_ca_chunk_runner), or
-    None when neither maps (ca unsupported).
+    ops/temporal_pallas.make_slab_sweep), ``'resident'`` (monolithic
+    VMEM-resident extended-slab kernel, ops/resident_pallas.
+    make_ca_chunk_runner), ``'inplace'`` (single-buffer blocked resident
+    sweep, ops/resident_pallas.make_ca_inplace_runner — the grid-level
+    in-place kernel's structure on the ghost-extended slab), or None when
+    none maps (ca unsupported).
 
     Shared by the mode builder and ``--plan``.  ``LBM_CA_ENGINE`` forces an
-    engine (``slab`` / ``resident``).  Auto follows the round-4 on-chip
+    engine (``slab`` / ``resident`` / ``inplace``).  Auto follows the
+    round-4 on-chip
     head-to-head (scripts/exp_ca_engine.py, healthy session, frozen-ghost
     kernel rates, MLUPS/shard):
 
@@ -260,15 +264,24 @@ def ca_engine_choice(
         and not pad_cols
         and resident_pallas.supports_ca_shard(nloc, nx, K)
     )
+    inp_ok = (
+        storage == "f32"
+        and not pad_cols
+        and resident_pallas.supports_ca_inplace(nloc, nx, K, params.ny)
+    )
     forced = os.environ.get("LBM_CA_ENGINE", "auto").strip().lower()
     if forced == "slab":
         return "slab" if slab_ok else None
     if forced == "resident":
         return "resident" if res_ok else None
+    if forced == "inplace":
+        return "inplace" if inp_ok else None
     if res_ok and (not slab_ok or (nloc <= 112 and nx <= 1024)):
         return "resident"
     if slab_ok:
         return "slab"
+    if inp_ok:
+        return "inplace"
     return None
 
 
@@ -878,12 +891,11 @@ def build_sharded_program(
             params, nloc, nx, K_ca, pad_cols=pad_cols,
             storage=storage, backend=backend,
         )
-        ca_resident = ca_engine == "resident"
         if ca_engine is None:
             raise ValueError(
                 f"ca mode requires a K-sweep engine (the VMEM-resident "
-                f"extended-slab sweep or the temporal pallas slab sweep), "
-                f"neither of which can map {nloc}x{nx} shards at depth "
+                f"extended-slab sweeps or the temporal pallas slab sweep), "
+                f"none of which can map {nloc}x{nx} shards at depth "
                 f"K={K_ca}; use sync/overlap (or fewer devices / a "
                 "lane-aligned width)"
             )
@@ -1081,7 +1093,11 @@ def build_sharded_program(
         # Both are bitwise-equal to K synchronous steps on fields; their
         # av partials group rows differently (~1-ulp float-sum reordering,
         # the documented temporal-kernel contract).
-        if ca_resident:
+        if ca_engine == "inplace":
+            ca_sweep = resident_pallas.make_ca_inplace_runner(
+                params, nloc, nx, K_ca, ny_global=ny
+            )
+        elif ca_engine == "resident":
             ca_sweep = resident_pallas.make_ca_chunk_runner(
                 params, nloc, nx, K_ca, ny_global=ny
             )
@@ -1346,7 +1362,5 @@ def build_sharded_program(
         backend=backend,
         chunk_inner_step=chunk_inner_step,
         chunk_exchange=chunk_exchange,
-        engine=(
-            ("resident" if ca_resident else "slab") if mode == "ca" else None
-        ),
+        engine=ca_engine if mode == "ca" else None,
     )

@@ -203,6 +203,44 @@ def _resident_inplace_i16_vs_streaming(steps: int = 16, n: int = 1024) -> float:
     )
 
 
+def _ca_inplace_vs_slab(K: int = 8, nloc: int = 96, nx: int = 1024) -> float:
+    """In-place blocked exact-ca engine (round 4) vs the streaming slab
+    sweep on one ghost-extended shard (frozen ghosts, one K-sweep): the
+    fields must match bitwise on TPU — the same engine-interchangeability
+    contract tests/test_ca.py pins on CPU interpret."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from lbm_tpu.core import lattice
+    from lbm_tpu.ops import resident_pallas, temporal_pallas
+    from lbm_tpu.params import LBMParams
+
+    ny_global = 4 * nloc
+    params = LBMParams(
+        nx=nx, ny=ny_global, max_iters=K, reynolds_dim=10,
+        density=0.1, accel=0.01, omega=1.85,
+    )
+    r = np.random.default_rng(11)
+    f = jnp.asarray(
+        np.asarray(
+            lattice.equilibrium_rest(params.density, nloc, nx), np.float32
+        ) * (1.0 + 0.01 * r.random((9, nloc, nx), dtype=np.float32))
+    )
+    lo, hi = f[:, -K:, :], f[:, :K, :]
+    mask = np.zeros((nloc + 2 * K, nx), dtype=bool)
+    mask[:, 0] = mask[:, -1] = True
+    obst_ext = jnp.asarray(mask.astype(np.float32))
+    inp = resident_pallas.make_ca_inplace_runner(
+        params, nloc, nx, K, ny_global=ny_global
+    )
+    slab = temporal_pallas.make_slab_sweep(
+        params, nloc, nx, K, ny_global=ny_global
+    )
+    f_i, _ = inp(f, lo, hi, obst_ext, nloc)
+    f_s, _ = slab(f, lo, hi, obst_ext, nloc)
+    return _maxdiff(f_i, f_s)
+
+
 def _golden_prefix(
     steps: int = 120, grid: str = "128x128", storage: str = "f32"
 ) -> float:
@@ -272,6 +310,11 @@ def run_verify() -> dict:
         d_i16 = _resident_inplace_i16_vs_streaming()
         report["resident_inplace_i16_vs_streaming_maxdiff"] = d_i16
         report["resident_inplace_i16_bitwise"] = d_i16 == 0.0
+        # The in-place blocked exact-ca engine (round 4): one K-sweep on a
+        # design-point shard must match the slab sweep bitwise.
+        d_cai = _ca_inplace_vs_slab()
+        report["ca_inplace_vs_slab_maxdiff"] = d_cai
+        report["ca_inplace_bitwise"] = d_cai <= atol
 
     pct = _golden_prefix()
     report["golden_prefix_max_pct"] = pct
@@ -296,6 +339,7 @@ def run_verify() -> dict:
         and report.get("resident_raised_bitwise", True)
         and report.get("resident_inplace_bitwise", True)
         and report.get("resident_inplace_i16_bitwise", True)
+        and report.get("ca_inplace_bitwise", True)
         and report["golden_prefix_ok"]
         and report["golden_prefix_i16_ok"]
     )

@@ -3,8 +3,11 @@
 Measures, per shard shape, the three K-sweep-class kernels that serve the
 sharded disciplines — frozen ghosts, repeated sweeps, best-of-N:
 
-- ``resident``: the VMEM-resident extended-slab exact ca sweep
+- ``resident``: the monolithic VMEM-resident extended-slab exact ca sweep
   (ops/resident_pallas.make_ca_chunk_runner, round 4);
+- ``inplace``: the single-buffer blocked resident exact ca sweep (round 4,
+  ops/resident_pallas.make_ca_inplace_runner — the grid in-place kernel's
+  structure on the extended slab);
 - ``slab``: the streaming temporal slab sweep the ca mode used exclusively
   through round 3 (ops/temporal_pallas.make_slab_sweep);
 - ``ghosted``: the lossy chunked mode's VMEM-resident ghost kernel — the
@@ -130,6 +133,22 @@ def main() -> int:
                       f"{str(e).splitlines()[0][:140]}", flush=True)
         else:
             print("resident: does not map", flush=True)
+
+        if resident_pallas.supports_ca_inplace(nloc, nx, K, ny_global):
+            try:
+                eng = resident_pallas.make_ca_inplace_runner(
+                    params, nloc, nx, K, ny_global=ny_global
+                )
+                mlups, us, cs = _time(
+                    eng, (f, lo, hi, obst_ext, off), cells, K, sweeps, reps
+                )
+                print(f"inplace:  {mlups:8.0f} MLUPS/shard ({us:.2f} us/step,"
+                      f" compile {cs:.0f} s)", flush=True)
+            except Exception as e:
+                print(f"inplace:  FAIL {type(e).__name__}: "
+                      f"{str(e).splitlines()[0][:140]}", flush=True)
+        else:
+            print("inplace:  does not map", flush=True)
 
         if temporal_pallas.supports_shard(params, nloc, nx, K):
             try:

@@ -413,6 +413,68 @@ def test_ca_resident_engine_matches_slab_sweep(ca_scene):
         )
 
 
+@pytest.mark.parametrize("ny,nloc,K", [(32, 16, 4), (64, 16, 8), (128, 24, 4)])
+def test_ca_inplace_engine_matches_monolithic(ny, nloc, K):
+    """The in-place blocked ca engine (single-buffer, dynamic driven-row
+    injection) is bitwise-equal to the monolithic extended-slab kernel on
+    FIELDS for every shard offset — driven row in the shard body, in the
+    wrapped ghosts, and absent from the slab entirely — and its
+    central-row-masked av partials match the monolithic whole-slab sums
+    exactly on these sizes."""
+    from lbm_tpu.core import lattice
+    from lbm_tpu.ops import resident_pallas
+
+    nx = 256
+    params = LBMParams(
+        nx=nx, ny=ny, max_iters=STEPS, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    r = np.random.default_rng(3)
+    mask = r.random((ny, nx)) < 0.08
+    mask[0, :] = mask[-1, :] = True
+    assert resident_pallas.supports_ca_inplace(nloc, nx, K, ny)
+    mono = resident_pallas.make_ca_chunk_runner(
+        params, nloc, nx, K, ny_global=ny, interpret=True
+    )
+    inp = resident_pallas.make_ca_inplace_runner(
+        params, nloc, nx, K, ny_global=ny, interpret=True
+    )
+    f_full = np.asarray(
+        lattice.equilibrium_rest(params.density, ny, nx), np.float32
+    )
+    f_full *= 1.0 + 0.01 * r.random(f_full.shape, dtype=np.float32)
+    for off in (0, nloc, 2 * nloc):
+        rows = lambda a, b: np.arange(a, b) % ny
+        f = jnp.asarray(f_full[:, rows(off, off + nloc)])
+        lo = jnp.asarray(f_full[:, rows(off - K, off)])
+        hi = jnp.asarray(f_full[:, rows(off + nloc, off + nloc + K)])
+        obst_ext = jnp.asarray(
+            mask[rows(off - K, off + nloc + K)].astype(np.float32)
+        )
+        f_m, av_m = mono(f, lo, hi, obst_ext, off)
+        f_i, av_i = inp(f, lo, hi, obst_ext, off)
+        assert np.array_equal(np.asarray(f_m), np.asarray(f_i)), off
+        np.testing.assert_allclose(
+            np.asarray(av_m), np.asarray(av_i), rtol=1e-6
+        )
+
+
+def test_ca_inplace_mode_matches_sync(ca_scene, mesh4, monkeypatch):
+    """Forced in-place engine: the full ca discipline over the 4-device mesh
+    reproduces sync (the same contract the other two engines certify)."""
+    params, mask = ca_scene
+    sync = modes.build_sharded_program(params, mask, mesh4, mode="sync")
+    monkeypatch.setenv("LBM_CA_ENGINE", "inplace")
+    ca = modes.build_sharded_program(
+        params, mask, mesh4, mode="ca", staleness=4
+    )
+    assert ca.engine == "inplace"
+    f_sync, tot_sync = _run(sync)
+    f_ca, tot_ca = _run(ca)
+    np.testing.assert_allclose(f_ca, f_sync, atol=5e-7)
+    np.testing.assert_allclose(tot_ca, tot_sync, rtol=1e-4)
+
+
 def test_plan_names_ca_engine(ca_scene, monkeypatch):
     from lbm_tpu.io.scene import Scene
     from lbm_tpu.models.plan import describe_plan

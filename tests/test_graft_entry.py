@@ -52,11 +52,11 @@ def test_dryrun_bootstraps_subprocess_when_devices_missing():
     )
     assert proc.returncode == 0, proc.stderr
     assert "BOOTSTRAP_OK" in proc.stdout
-    # 12 combos, each with an explicit correctness relation (VERDICT r2 #2):
-    # sync/overlap jnp bitwise, sync pallas, ca K=2 slab + K=4 under BOTH
-    # forced engines (round 4) exact, sync/overlap/ca i16, async 1/3 +
-    # chunked bounded.
-    assert proc.stdout.count("dryrun ok:") == 12
+    # 13 combos, each with an explicit correctness relation (VERDICT r2 #2):
+    # sync/overlap jnp bitwise, sync pallas, ca K=2 slab + K=4 under ALL
+    # THREE forced engines (round 4) exact, sync/overlap/ca i16, async 1/3
+    # + chunked bounded.
+    assert proc.stdout.count("dryrun ok:") == 13
     assert proc.stdout.count("bitwise") >= 2
     assert "exact comm-avoiding" in proc.stdout
     assert "bounded staleness" in proc.stdout
