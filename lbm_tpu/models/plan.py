@@ -208,9 +208,9 @@ def describe_plan(scene: Scene, config) -> str:
                     f"K={K_ca}")
             else:
                 # Mirror build_sharded_program's engine choice exactly
-                # (modes.ca_engine_choice: slab preferred — measured faster
-                # at every shard shape both engines map, round 4 — resident
-                # fallback, LBM_CA_ENGINE force).
+                # (modes.ca_engine_choice: resident in its narrow-shard
+                # win box, in-place blocked sweep elsewhere, slab as the
+                # coverage fallback, LBM_CA_ENGINE force).
                 nloc_pad = (ny + pad_rows) // n_dev
                 pad_cols = modes.lane_pad_cols(nx) if nx % 128 else 0
                 eng = modes.ca_engine_choice(

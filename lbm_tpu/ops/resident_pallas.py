@@ -1197,7 +1197,7 @@ def make_ca_chunk_runner(
     return run_sweep
 
 
-# --- in-place blocked exact-ca sweep: resident ca at grid-kernel rates ------
+# --- in-place blocked exact-ca sweep: resident ca at grid-kernel rates -----
 #
 # The monolithic _ca_ext_kernel above holds TWO extended-slab states plus
 # full-slab per-step temporaries, which (a) caps it at small shards and
@@ -1207,8 +1207,9 @@ def make_ca_chunk_runner(
 # variant runs the SAME shrinking-validity schedule with the in-place
 # single-buffer block structure of _inplace_blocked_kernel — 1x ext state
 # via input_output_aliases, O(B)-row temporaries, carry rows, row-reduced
-# av partials — so the engine maps shards up to ~1024x2048 and steps them
-# at grid-kernel rates.
+# av partials — so the engine steps 512x2048-class shards at grid-kernel
+# rates (its band ceiling is 48 MiB, _ca_inplace_plan — the wider raised
+# bands the grid kernel runs at hang or HTTP-500 the compile helper here).
 #
 # The one structural difference from the grid kernel: under shard_map the
 # driven row's position in the extended slab is a RUNTIME value (row_offset
@@ -1238,24 +1239,37 @@ def make_ca_chunk_runner(
 # engine's whole-slab sum — the documented ~1-ulp av contract).
 
 
-def _ca_inplace_need(ext: int, nx: int, b: int) -> int:
+def _ca_inplace_need(ext: int, nx: int, b: int, mask_bytes: int = 4) -> int:
     # _inplace_need_bytes + the (16, nx) driven-row scratch.
-    return _inplace_need_bytes(ext, nx, b) + 16 * nx * 4
+    return _inplace_need_bytes(ext, nx, b, mask_bytes) + 16 * nx * 4
 
 
-def _ca_inplace_limit(nloc: int, nx: int, K: int) -> int | None:
-    """Scoped-VMEM limit for the in-place ca sweep: 0 (default limit) when
-    the 1x-extended-state + minimal-block budget fits 16 MiB, else the
-    smallest verified raised band (lower limits measured FASTER at equal
-    config on the grid kernel), else None."""
-    need = _ca_inplace_need(nloc + 2 * K, nx, 8)
-    for mb in (vmem.DEFAULT_LIMIT_MB, 48, 72, 88):
-        if need <= min(mb * 2**20, _INPLACE_REF_CEILING):
-            return 0 if mb == vmem.DEFAULT_LIMIT_MB else mb
+def _ca_inplace_plan(nloc: int, nx: int, K: int) -> tuple[int, bool] | None:
+    """(scoped-VMEM limit, mask_i8) for the in-place ca sweep, or None.
+
+    Limit 0 means the 16 MiB default; otherwise the 48 MiB band — the ONLY
+    raised band verified for this kernel.  The grid-level in-place kernel
+    runs at 72 and 88 MiB, but the ca variant's raised bands are hostile
+    past 48 (round-4 measured negatives): 768x2048 K=8 @72 (65.5 MiB refs)
+    HANGS the remote compile helper, and 1024x2048 K=8 @88 with the int8
+    mask (83.3 MiB refs, inside the grid kernel's 81 MiB verified ceiling)
+    HTTP-500s it — so those shards fall back to the streaming slab sweep
+    (13.4k MLUPS/shard at 1024x2048 K=8) instead of auto-routing into a
+    crash.  The mask drops to int8 only when that is what fits the band
+    (the grid kernel's capacity-edge rule, _inplace_mask_i8)."""
+    ext = nloc + 2 * K
+    for mb in (vmem.DEFAULT_LIMIT_MB, 48):
+        cap = min(mb * 2**20, _INPLACE_REF_CEILING)
+        if _ca_inplace_need(ext, nx, 8) <= cap:
+            return (0 if mb == vmem.DEFAULT_LIMIT_MB else mb), False
+        if _ca_inplace_need(ext, nx, 8, mask_bytes=1) <= cap:
+            return (0 if mb == vmem.DEFAULT_LIMIT_MB else mb), True
     return None
 
 
-def _ca_pick_block_rows(ext: int, nx: int, limit_mb: int | None) -> int:
+def _ca_pick_block_rows(
+    ext: int, nx: int, limit_mb: int | None, mask_bytes: int = 4
+) -> int:
     """Largest fitting 8-aligned divisor of ext up to 40 rows (the grid
     kernel's measured B=32-class optimum; ext is rarely 32-divisible)."""
     cap = min(vmem.limit_mb(limit_mb) * 2**20, _INPLACE_REF_CEILING)
@@ -1263,7 +1277,7 @@ def _ca_pick_block_rows(ext: int, nx: int, limit_mb: int | None) -> int:
     for b in range(8, min(ext, 40) + 1, 8):
         if ext % b:
             continue
-        if _ca_inplace_need(ext, nx, b) <= cap:
+        if _ca_inplace_need(ext, nx, b, mask_bytes) <= cap:
             best = b
         else:
             break
@@ -1287,7 +1301,7 @@ def supports_ca_inplace(nloc: int, nx: int, K: int, ny_global: int) -> bool:
         and ext % 8 == 0
         and nloc >= K
         and ext <= ny_global
-        and _ca_inplace_limit(nloc, nx, K) is not None
+        and _ca_inplace_plan(nloc, nx, K) is not None
     )
 
 
@@ -1313,6 +1327,13 @@ def _ca_inplace_kernel(
     B = block_rows
     ext = nloc + 2 * K
     nb = ext // B
+
+    def _mask_f32(rows):
+        # int8 masks (capacity-edge shards) compare through an f32 convert:
+        # the direct i8 compare hits a Mosaic mask-relayout error
+        # (BENCHMARKS.md failed-experiments ledger).
+        return rows if rows.dtype == jnp.float32 else rows.astype(jnp.float32)
+
     iota = jax.lax.broadcasted_iota(jnp.int32, (ext, 1), 0)
     base = row_off_ref[0, 0] - K
 
@@ -1328,7 +1349,8 @@ def _ca_inplace_kernel(
     arow_f = arow.astype(F32)
     central = (iota >= K) & (iota < K + nloc)
     fluid_ar = (
-        jnp.sum(obst_ref[...] * arow_f, axis=0, keepdims=True) == F32(0.0)
+        jnp.sum(_mask_f32(obst_ref[...]) * arow_f, axis=0, keepdims=True)
+        == F32(0.0)
     )
     ar_mask = jnp.full((1, 1), True)
     has_ar = [
@@ -1388,7 +1410,7 @@ def _ca_inplace_kernel(
         tot = None
         for i in range(nb):
             r0 = i * B
-            obst_blk = obst_ref[r0 : r0 + B, :] != F32(0.0)
+            obst_blk = _mask_f32(obst_ref[r0 : r0 + B, :]) != F32(0.0)
             streamed = [
                 window(k, r0, carry[k] if carry else None) for k in range(NS)
             ]
@@ -1431,11 +1453,16 @@ def make_ca_inplace_runner(
     ny_global: int,
     interpret: bool | None = None,
     block_rows: int | None = None,
+    mask_i8: bool | None = None,
 ):
     """Build the in-place blocked exact-ca per-shard sweep:
     ``(f, ghost_lo (9,K,nx), ghost_hi (9,K,nx), obst_ext, row_offset)
     -> (f', tot_u (K,))`` — drop-in for make_ca_chunk_runner /
-    temporal_pallas.make_slab_sweep."""
+    temporal_pallas.make_slab_sweep.
+
+    ``mask_i8``: None follows the capacity plan (_ca_inplace_plan drops the
+    obstacle mask to int8 only when the f32 mask does not fit); True/False
+    force the encoding for parity tests and measurement scripts."""
     if not supports_ca_inplace(nloc, nx, K, ny_global):
         raise ValueError(
             f"shard {nloc}x{nx} at depth K={K} does not fit the in-place "
@@ -1443,14 +1470,35 @@ def make_ca_inplace_runner(
         )
     if interpret is None:
         interpret = _use_interpret()
-    limit = _ca_inplace_limit(nloc, nx, K) or None
+    plan_limit, plan_mask_i8 = _ca_inplace_plan(nloc, nx, K)
+    if mask_i8 is None:
+        mask_i8 = plan_mask_i8
+    limit = plan_limit or None
+    mask_dtype = jnp.int8 if mask_i8 else jnp.float32
     ext = nloc + 2 * K
+    if block_rows is not None:
+        # A forced block height re-derives its own band: the plan's limit
+        # assumed the B=8 minimal footprint.  72/88 stay reachable HERE
+        # (experiment escape hatch, scripts/exp_ca_engine.py) even though
+        # the auto plan caps at 48 — the wider bands hang/500 the compile
+        # helper at the shapes auto would route there.
+        need = _ca_inplace_need(ext, nx, block_rows, 1 if mask_i8 else 4)
+        for mb in (vmem.DEFAULT_LIMIT_MB, 48, 72, 88):
+            if need <= min(mb * 2**20, _INPLACE_REF_CEILING):
+                limit = None if mb == vmem.DEFAULT_LIMIT_MB else mb
+                break
+        else:
+            raise ValueError(
+                f"forced block_rows={block_rows} needs "
+                f"{need / 2**20:.1f} MiB — past every verified band"
+            )
     w1a, w2a = lattice.accel_weights(params.density, params.accel)
     kernel = functools.partial(
         _ca_inplace_kernel,
         K=K,
         nloc=nloc,
-        block_rows=block_rows or _ca_pick_block_rows(ext, nx, limit),
+        block_rows=block_rows
+        or _ca_pick_block_rows(ext, nx, limit, 1 if mask_i8 else 4),
         ny_global=ny_global,
         omega=float(params.omega),
         accel_row=params.accel_row,
@@ -1486,7 +1534,7 @@ def make_ca_inplace_runner(
     def run_sweep(f, ghost_lo, ghost_hi, obst_ext, row_offset):
         row_off = jnp.asarray(row_offset, dtype=jnp.int32).reshape(1, 1)
         ext_f = jnp.concatenate([ghost_lo, f, ghost_hi], axis=1)
-        new_ext, av = call(row_off, ext_f, obst_ext.astype(jnp.float32))
+        new_ext, av = call(row_off, ext_f, obst_ext.astype(mask_dtype))
         return new_ext[:, K : K + nloc, :], av[:, 0]
 
     return run_sweep

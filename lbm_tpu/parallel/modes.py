@@ -233,22 +233,32 @@ def ca_engine_choice(
     head-to-head (scripts/exp_ca_engine.py, healthy session, frozen-ghost
     kernel rates, MLUPS/shard):
 
-    | shard      | resident | slab  | winner  |
-    |------------|----------|-------|---------|
-    | 64x1024 K4 | 10.8k    | 10.0k | resident|
-    | 96x1024 K4 | 14.1k    | 12.2k | resident|
-    | 96x1024 K8 | 17.4k    | 15.5k | resident|
-    | 112x1024 K4| 14.6k    | 11.5k | resident|
-    | 128x1024 K4| 10.3k    | 13.2k | slab    |
-    | 64x2048 K4 | 10.7k    | 12.7k | slab    |
-    | 256x2048 K4| 10.0k    | 16.1k | slab    |
+    | shard       | resident | inplace | slab  | winner  |
+    |-------------|----------|---------|-------|---------|
+    | 64x1024 K4  | 10.0k    | 9.7k    | 9.4k  | resident|
+    | 96x1024 K4  | 13.6k    | 10.2k   | 10.8k | resident|
+    | 96x1024 K8  | 16.2k    | 15.5k   | 14.9k | resident|
+    | 112x1024 K4 | 12.7k    | 11.7k   | 10.5k | resident|
+    | 128x1024 K4 | 10.7k    | 12.9k   | 13.4k | slab +4%|
+    | 128x1024 K8 | 14.7k    | 16.2k   | 15.6k | inplace |
+    | 256x1024 K4 | 9.5k     | 16.9k   | 15.7k | inplace |
+    | 256x1024 K8 | 13.5k    | 19.9k   | 18.4k | inplace |
+    | 256x2048 K4 | 10.0k    | 18.6k   | 12.4k | inplace |
+    | 512x2048 K4 | —        | 19.0k   | 15.6k | inplace |
+    | 512x2048 K8 | —        | 21.0k   | 15.5k | inplace |
 
-    i.e. the resident extended-slab kernel wins NARROW shards (<= 1024
-    lanes) up to ~112 rows — above either edge its rate collapses — so
-    auto picks it inside that box and the streaming slab everywhere else.
-    Each engine is also the other's fallback where one cannot map (the
-    slab's accel_row >= K gate, the resident kernel's f32/no-clone-column
-    gates), and both stay forceable for certification.
+    i.e. the monolithic resident extended-slab kernel wins NARROW shards
+    (<= 1024 lanes) up to ~112 rows — past either edge Mosaic schedules
+    its whole-slab ops poorly and the rate collapses — and the in-place
+    blocked sweep wins everywhere else it maps (its one measured loss,
+    128x1024 K=4, is 4%; it wins that shard's K=8 by the same margin).
+    Auto therefore picks resident inside the narrow box, in-place outside
+    it, and the streaming slab as the coverage fallback: i16 storage,
+    clone-column padding, K < 2, and shards past the in-place engine's
+    48 MiB verified band (1024x2048 K=8 runs the slab at 13.4k — its
+    in-place builds at 72/88 MiB hang or HTTP-500 the compile helper,
+    resident_pallas._ca_inplace_plan).  All three stay forceable for
+    certification.
     """
     import os
 
@@ -276,8 +286,11 @@ def ca_engine_choice(
         return "resident" if res_ok else None
     if forced == "inplace":
         return "inplace" if inp_ok else None
-    if res_ok and (not slab_ok or (nloc <= 112 and nx <= 1024)):
+    in_narrow_box = nloc <= 112 and nx <= 1024
+    if res_ok and (in_narrow_box or not (slab_ok or inp_ok)):
         return "resident"
+    if inp_ok and not in_narrow_box:
+        return "inplace"
     if slab_ok:
         return "slab"
     if inp_ok:
@@ -1085,12 +1098,11 @@ def build_sharded_program(
     if mode == "ca":
         from lbm_tpu.ops import resident_pallas, temporal_pallas
 
-        # K_ca and the engine were fixed by ca_engine_choice above: the
-        # streaming slab sweep wherever it maps (measured FASTER than the
-        # VMEM-resident extended-slab kernel at every shard shape both map
-        # — round-4 on-chip head-to-head, see ca_engine_choice), the
-        # resident kernel as the wider-coverage fallback / forced choice.
-        # Both are bitwise-equal to K synchronous steps on fields; their
+        # K_ca and the engine were fixed by ca_engine_choice above (see
+        # its measured win boxes: monolithic resident on narrow shards,
+        # in-place blocked sweep elsewhere, streaming slab as the coverage
+        # fallback).  All are bitwise-equal to K synchronous steps on
+        # fields; their
         # av partials group rows differently (~1-ulp float-sum reordering,
         # the documented temporal-kernel contract).
         if ca_engine == "inplace":

@@ -136,8 +136,10 @@ def main() -> int:
 
         if resident_pallas.supports_ca_inplace(nloc, nx, K, ny_global):
             try:
+                force_b = os.environ.get("LBM_CAE_INPLACE_B")
                 eng = resident_pallas.make_ca_inplace_runner(
-                    params, nloc, nx, K, ny_global=ny_global
+                    params, nloc, nx, K, ny_global=ny_global,
+                    block_rows=int(force_b) if force_b else None,
                 )
                 mlups, us, cs = _time(
                     eng, (f, lo, hi, obst_ext, off), cells, K, sweeps, reps

@@ -459,6 +459,48 @@ def test_ca_inplace_engine_matches_monolithic(ny, nloc, K):
         )
 
 
+def test_ca_inplace_i8_mask_bitwise():
+    """The capacity-edge int8 obstacle encoding (forced via mask_i8=True —
+    auto engages it only on 1024x2048-class shards whose f32 mask misses
+    the 88 MiB cap) leaves FIELDS and av partials bitwise-identical to the
+    f32-mask build: the kernel compares masks through an f32 convert, so
+    the encoding never touches the arithmetic."""
+    from lbm_tpu.core import lattice
+    from lbm_tpu.ops import resident_pallas
+
+    ny, nloc, K, nx = 64, 16, 8, 256
+    params = LBMParams(
+        nx=nx, ny=ny, max_iters=STEPS, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    r = np.random.default_rng(11)
+    mask = r.random((ny, nx)) < 0.08
+    mask[0, :] = mask[-1, :] = True
+    f_full = np.asarray(
+        lattice.equilibrium_rest(params.density, ny, nx), np.float32
+    )
+    f_full *= 1.0 + 0.01 * r.random(f_full.shape, dtype=np.float32)
+    runners = [
+        resident_pallas.make_ca_inplace_runner(
+            params, nloc, nx, K, ny_global=ny, interpret=True, mask_i8=m
+        )
+        for m in (False, True)
+    ]
+    for off in (0, nloc):
+        rows = lambda a, b: np.arange(a, b) % ny
+        f = jnp.asarray(f_full[:, rows(off, off + nloc)])
+        lo = jnp.asarray(f_full[:, rows(off - K, off)])
+        hi = jnp.asarray(f_full[:, rows(off + nloc, off + nloc + K)])
+        obst_ext = jnp.asarray(
+            mask[rows(off - K, off + nloc + K)].astype(np.float32)
+        )
+        (f_f32, av_f32), (f_i8, av_i8) = (
+            run(f, lo, hi, obst_ext, off) for run in runners
+        )
+        assert np.array_equal(np.asarray(f_f32), np.asarray(f_i8)), off
+        assert np.array_equal(np.asarray(av_f32), np.asarray(av_i8)), off
+
+
 def test_ca_inplace_mode_matches_sync(ca_scene, mesh4, monkeypatch):
     """Forced in-place engine: the full ca discipline over the 4-device mesh
     reproduces sync (the same contract the other two engines certify)."""
