@@ -155,7 +155,9 @@ def _pick_variant(scene: Scene, config: RunConfig) -> str:
         ca_stal = (
             config.staleness
             if config.staleness is not None
-            else modes.STALENESS_DEFAULTS["ca"]
+            else modes.ca_default_staleness(
+                params, scene.obstacles, n_dev, config.storage
+            )
         )
         if (
             config.backend != "jnp"
@@ -216,10 +218,15 @@ def build_program(
         mesh = mesh_lib.make_row_mesh(config.num_devices)
         mode = {"async-k": "async"}.get(variant, variant)
         defaults = modes.STALENESS_DEFAULTS
-        if variant in defaults:
-            staleness = (
-                config.staleness if config.staleness is not None else defaults[variant]
+        if config.staleness is not None and variant in defaults:
+            staleness = config.staleness
+        elif variant == "ca":
+            n_dev = config.num_devices or jax.device_count()
+            staleness = modes.ca_default_staleness(
+                params, obst, n_dev, config.storage
             )
+        elif variant in defaults:
+            staleness = defaults[variant]
         else:
             staleness = 1
         return modes.build_sharded_program(
@@ -823,7 +830,12 @@ def run_simulation(scene: Scene, config: RunConfig | None = None) -> RunResult:
         ca_stal = (
             config.staleness
             if config.staleness is not None
-            else modes.STALENESS_DEFAULTS["ca"]
+            else modes.ca_default_staleness(
+                scene.params,
+                scene.obstacles,
+                config.num_devices or jax.device_count(),
+                config.storage,
+            )
         )
         ca_label = f"ca-{modes.ca_depth(ca_stal)}"
         warnings.warn(

@@ -160,6 +160,10 @@ def describe_plan(scene: Scene, config) -> str:
         stal = (
             config.staleness
             if config.staleness is not None
+            else modes.ca_default_staleness(
+                params, scene.obstacles, n_dev, config.storage
+            )
+            if variant == "ca"
             else modes.STALENESS_DEFAULTS.get(variant, 1)
         )
         K_ca = modes.ca_depth(stal)

@@ -53,6 +53,31 @@ def ca_depth(staleness: int) -> int:
     return max(2, staleness)
 
 
+def ca_default_staleness(
+    params, obstacles, num_shards: int, storage: str = "f32"
+) -> int:
+    """Measured-best default exchange depth for the ca mode when the user
+    gives no --staleness: K=8 at shards of >= 96 rows, else the K=4 table
+    default.  The round-4 engine head-to-head (scripts/exp_ca_engine.py,
+    ca_engine_choice's table) measured K=8 above K=4 at EVERY >= 96-row
+    shard shape for every engine (256x1024: 19.9k vs 16.9k in-place,
+    18.4k vs 15.7k slab; 512x2048: 21.0k vs 19.0k; 96x1024 resident:
+    16.2k vs 13.6k MLUPS/shard), and a deeper sweep also halves the
+    collective count at identical exchanged bytes per step (one K-row
+    halo per K steps either way).  Below 96 rows only K=4 was measured,
+    and the sweep's redundant-compute fraction 2K/nloc grows — the table
+    default stands.  Falls back to K=4 when the K=8 build cannot map
+    (engine gates), so auto never loses ca coverage to the deeper
+    default."""
+    import numpy as np
+
+    ny = np.asarray(obstacles).shape[0]
+    nloc = (ny + (-ny) % num_shards) // num_shards
+    if nloc >= 96 and ca_supported(params, obstacles, num_shards, 8, storage):
+        return 8
+    return STALENESS_DEFAULTS["ca"]
+
+
 @dataclasses.dataclass
 class StepProgram:
     """A runnable step program over (possibly sharded) global arrays."""

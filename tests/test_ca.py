@@ -459,6 +459,51 @@ def test_ca_inplace_engine_matches_monolithic(ny, nloc, K):
         )
 
 
+def test_ca_default_staleness_shape_aware():
+    """No --staleness: ca defaults to K=8 at shards >= 96 rows (measured
+    faster at every such shape, half the collectives) and stays at the
+    K=4 table default below, or when the K=8 build cannot map."""
+    params = LBMParams(
+        nx=128, ny=192, max_iters=8, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    mask = np.zeros((192, 128), dtype=bool)
+    mask[0, :] = mask[-1, :] = True
+    assert modes.ca_default_staleness(params, mask, 2) == 8  # 96-row shards
+    assert modes.ca_default_staleness(params, mask, 4) == 4  # 48-row shards
+    # >= 96 rows but K=8 unmappable (ext % 8 != 0 via nloc=100) -> 4.
+    params_odd = LBMParams(
+        nx=128, ny=200, max_iters=8, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    mask_odd = np.zeros((200, 128), dtype=bool)
+    mask_odd[0, :] = mask_odd[-1, :] = True
+    stal = modes.ca_default_staleness(params_odd, mask_odd, 2)
+    assert stal == 8 if modes.ca_supported(params_odd, mask_odd, 2, 8) else 4
+
+
+def test_ca_default_depth_in_run_label():
+    """run_simulation without --staleness carries the shape-aware default
+    into the variant label (and the run still matches sync bitwise)."""
+    from lbm_tpu.io.scene import Scene
+
+    params = LBMParams(
+        nx=128, ny=192, max_iters=8, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    mask = np.zeros((192, 128), dtype=bool)
+    mask[0, :] = mask[-1, :] = True
+    scene = Scene(params=params, obstacles=mask)
+    res = run_simulation(
+        scene, RunConfig(variant="ca", num_devices=2, num_steps=8)
+    )
+    assert res.variant == "ca-8"
+    res_sync = run_simulation(
+        scene, RunConfig(variant="sync", num_devices=2, num_steps=8)
+    )
+    np.testing.assert_allclose(res.f, res_sync.f, atol=5e-7)
+
+
 def test_ca_inplace_i8_mask_bitwise():
     """The capacity-edge int8 obstacle encoding (forced via mask_i8=True —
     auto engages it only on 1024x2048-class shards whose f32 mask misses
