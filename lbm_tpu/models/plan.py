@@ -222,8 +222,20 @@ def describe_plan(scene: Scene, config) -> str:
                     pad_cols=pad_cols, storage=config.storage,
                 )
                 if eng == "inplace":
+                    from lbm_tpu.ops import resident_pallas
+
+                    parts = resident_pallas.ca_inplace_parts(
+                        nloc_pad, nx + pad_cols, K_ca, ny + pad_rows
+                    )
+                    sub = nloc_pad // (parts or 1)
+                    split = (
+                        f" as {parts} sub-sweeps of {sub} rows "
+                        "(K-deep local ghosts, bitwise)"
+                        if parts and parts > 1 else ""
+                    )
                     out(f"ca engine: in-place blocked resident sweep "
-                        f"({nloc_pad}+2x{K_ca} rows on-chip, single buffer)")
+                        f"({sub}+2x{K_ca} rows on-chip, single buffer"
+                        f"{split})")
                 elif eng == "resident":
                     out(f"ca engine: VMEM-resident extended-slab sweep "
                         f"({nloc_pad}+2x{K_ca} rows on-chip per sweep)")

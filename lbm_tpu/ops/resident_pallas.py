@@ -1289,10 +1289,8 @@ def _ca_pick_block_rows(
     return best
 
 
-def supports_ca_inplace(nloc: int, nx: int, K: int, ny_global: int) -> bool:
-    """Whether the in-place blocked ca sweep maps an nloc-row shard at
-    depth K.  ``ext <= ny_global`` guarantees the driven row has at most
-    one image in the extended slab (the one-hot extraction's contract)."""
+def _ca_inplace_maps_whole(nloc: int, nx: int, K: int, ny_global: int) -> bool:
+    # The single-sweep (parts=1) feasibility test.
     ext = nloc + 2 * K
     return (
         K >= 2
@@ -1303,6 +1301,40 @@ def supports_ca_inplace(nloc: int, nx: int, K: int, ny_global: int) -> bool:
         and ext <= ny_global
         and _ca_inplace_plan(nloc, nx, K) is not None
     )
+
+
+def ca_inplace_parts(nloc: int, nx: int, K: int, ny_global: int) -> int | None:
+    """Sub-slab count for the in-place ca sweep: 1 when the whole shard
+    fits the engine's VMEM band, the smallest even split whose sub-slabs
+    do otherwise, None when no split maps.
+
+    Intra-shard splitting is the communication-avoiding trick applied a
+    second time, WITHIN the chip: a shard too tall for the in-place band
+    runs as ``parts`` independent sub-sweeps, each reading a K-deep ghost
+    region from the neighboring sub-slab's pre-sweep state (local data —
+    no exchange) and recomputing its boundary evolution exactly like the
+    inter-chip schedule does.  Fields stay bitwise-equal to K synchronous
+    steps (the sub-sweep IS the ca sweep at a smaller nloc); the cost is
+    (parts-1)*2K rows of redundant boundary compute, already included in
+    the measured per-shard rates.  This keeps the 21.0k MLUPS/shard
+    512x2048-class kernel serving 1024x2048 shards (slab: 13.4k) and maps
+    4096-lane shards no monolithic engine can hold."""
+    max_parts = max(1, nloc // max(K, 8))
+    for parts in range(1, max_parts + 1):
+        if nloc % parts:
+            continue
+        sub = nloc // parts
+        if _ca_inplace_maps_whole(sub, nx, K, ny_global):
+            return parts
+    return None
+
+
+def supports_ca_inplace(nloc: int, nx: int, K: int, ny_global: int) -> bool:
+    """Whether the in-place blocked ca sweep maps an nloc-row shard at
+    depth K, possibly as split sub-sweeps (:func:`ca_inplace_parts`).
+    ``ext <= ny_global`` guarantees the driven row has at most one image
+    in the extended slab (the one-hot extraction's contract)."""
+    return ca_inplace_parts(nloc, nx, K, ny_global) is not None
 
 
 def _ca_inplace_kernel(
@@ -1454,6 +1486,7 @@ def make_ca_inplace_runner(
     interpret: bool | None = None,
     block_rows: int | None = None,
     mask_i8: bool | None = None,
+    parts: int | None = None,
 ):
     """Build the in-place blocked exact-ca per-shard sweep:
     ``(f, ghost_lo (9,K,nx), ghost_hi (9,K,nx), obst_ext, row_offset)
@@ -1462,8 +1495,71 @@ def make_ca_inplace_runner(
 
     ``mask_i8``: None follows the capacity plan (_ca_inplace_plan drops the
     obstacle mask to int8 only when the f32 mask does not fit); True/False
-    force the encoding for parity tests and measurement scripts."""
-    if not supports_ca_inplace(nloc, nx, K, ny_global):
+    force the encoding for parity tests and measurement scripts.
+
+    ``parts``: None follows :func:`ca_inplace_parts` (1 when the whole
+    shard fits the VMEM band, else the smallest fitting sub-slab split);
+    an explicit count forces it.  Split sweeps run ONE compiled sub-shard
+    kernel ``parts`` times with K-deep ghosts sliced from the pre-sweep
+    state (fields bitwise vs the unsplit sweep; av partials sum in part
+    order — the documented ~1-ulp float-sum grouping contract)."""
+    if parts is None:
+        parts = ca_inplace_parts(nloc, nx, K, ny_global)
+        if parts is None:
+            raise ValueError(
+                f"shard {nloc}x{nx} at depth K={K} does not fit the "
+                "in-place ca sweep (no sub-slab split maps either)"
+            )
+    if parts > 1:
+        if nloc % parts or not _ca_inplace_maps_whole(
+            nloc // parts, nx, K, ny_global
+        ):
+            raise ValueError(
+                f"cannot split a {nloc}x{nx} shard into {parts} in-place "
+                f"ca sub-sweeps at depth K={K}"
+            )
+        sub = nloc // parts
+        inner = make_ca_inplace_runner(
+            params, sub, nx, K, ny_global,
+            interpret=interpret, block_rows=block_rows, mask_i8=mask_i8,
+            parts=1,
+        )
+
+        def _rows(f, ghost_lo, ghost_hi, a, b):
+            # Rows [a, b) of the virtual (ghost_lo | f | ghost_hi) slab
+            # WITHOUT materializing it: every part's inputs are direct
+            # slices of the caller's arrays (the first split build paid an
+            # extra full-slab concat + re-slice round-trip through HBM —
+            # ~35 us/step at 1024x2048 — before the inner concat).
+            pieces = []
+            if a < K:
+                pieces.append(ghost_lo[:, a : min(b, K), :])
+            if b > K and a < K + nloc:
+                pieces.append(f[:, max(a - K, 0) : b - K, :])
+            if b > K + nloc:
+                pieces.append(ghost_hi[:, max(a - K - nloc, 0) : b - K - nloc, :])
+            return pieces[0] if len(pieces) == 1 else jnp.concatenate(
+                pieces, axis=1
+            )
+
+        def run_split(f, ghost_lo, ghost_hi, obst_ext, row_offset):
+            outs = []
+            av = None
+            for i in range(parts):
+                r = i * sub
+                out_i, av_i = inner(
+                    _rows(f, ghost_lo, ghost_hi, K + r, K + r + sub),
+                    _rows(f, ghost_lo, ghost_hi, r, r + K),
+                    _rows(f, ghost_lo, ghost_hi, K + r + sub, 2 * K + r + sub),
+                    obst_ext[r : r + sub + 2 * K, :],
+                    row_offset + i * sub,
+                )
+                outs.append(out_i)
+                av = av_i if av is None else av + av_i
+            return jnp.concatenate(outs, axis=1), av
+
+        return run_split
+    if not _ca_inplace_maps_whole(nloc, nx, K, ny_global):
         raise ValueError(
             f"shard {nloc}x{nx} at depth K={K} does not fit the in-place "
             "ca sweep"

@@ -275,15 +275,25 @@ def ca_engine_choice(
     i.e. the monolithic resident extended-slab kernel wins NARROW shards
     (<= 1024 lanes) up to ~112 rows — past either edge Mosaic schedules
     its whole-slab ops poorly and the rate collapses — and the in-place
-    blocked sweep wins everywhere else it maps (its one measured loss,
-    128x1024 K=4, is 4%; it wins that shard's K=8 by the same margin).
-    Auto therefore picks resident inside the narrow box, in-place outside
-    it, and the streaming slab as the coverage fallback: i16 storage,
-    clone-column padding, K < 2, and shards past the in-place engine's
-    48 MiB verified band (1024x2048 K=8 runs the slab at 13.4k — its
-    in-place builds at 72/88 MiB hang or HTTP-500 the compile helper,
-    resident_pallas._ca_inplace_plan).  All three stay forceable for
-    certification.
+    blocked sweep wins everywhere else it maps WHOLE (its one measured
+    loss, 128x1024 K=4, is 4%; it wins that shard's K=8 by the same
+    margin).  Auto therefore picks resident inside the narrow box,
+    unsplit in-place outside it, and the streaming slab as the coverage
+    fallback: i16 storage, clone-column padding, K < 2, and shards past
+    the in-place engine's 48 MiB verified band (1024x2048 K=8 runs the
+    slab at 13.1k — its in-place builds at 72/88 MiB hang or HTTP-500 the
+    compile helper, resident_pallas._ca_inplace_plan).
+
+    Shards past the band can also run the in-place engine as SPLIT
+    sub-sweeps (resident_pallas.ca_inplace_parts — K-deep local ghosts,
+    bitwise).  Measured at K=8: the split composition pays ~75 us/step of
+    part-IO round-trips at 1024x2048 (11.9k vs slab 13.1k, despite each
+    528x2048 half running 21.0k alone), roughly ties slab at 2048x2048
+    (12.7k vs 12.1k), and is the ONLY mapping engine at 4096-lane shards
+    (512x4096 K=8: 12.2k vs the per-step kernels' 4.6k).  Auto therefore
+    uses the split form strictly as coverage — where no unsplit engine
+    maps — and prefers the slab where both map.  All three engines stay
+    forceable for certification.
     """
     import os
 
@@ -311,15 +321,24 @@ def ca_engine_choice(
         return "resident" if res_ok else None
     if forced == "inplace":
         return "inplace" if inp_ok else None
+    inp_whole = inp_ok and (
+        resident_pallas.ca_inplace_parts(nloc, nx, K, params.ny) == 1
+    )
     in_narrow_box = nloc <= 112 and nx <= 1024
     if res_ok and (in_narrow_box or not (slab_ok or inp_ok)):
         return "resident"
-    if inp_ok and not in_narrow_box:
+    if inp_whole and not in_narrow_box:
+        return "inplace"
+    if inp_ok and nloc >= 2048:
+        # Height crossover: the slab's streaming rate degrades with shard
+        # height (13.1k at 1024x2048 -> 12.1k at 2048x2048) while the
+        # split composition stays flat (11.9k -> 12.7k) — split wins from
+        # ~2048 rows.
         return "inplace"
     if slab_ok:
         return "slab"
     if inp_ok:
-        return "inplace"
+        return "inplace"  # split coverage: the only engine that maps
     return None
 
 

@@ -24,7 +24,11 @@ sustain between exchanges, excluding ICI time (unavailable here).
 
 Usage: python scripts/exp_ca_engine.py
 Env:   LBM_CAE_SWEEPS (default 2500 K-sweeps per timing — enough steps
-       that the one ~27 ms dispatch-RTT is <10% bias), LBM_CAE_REPS (3)
+       that the one ~27 ms dispatch-RTT is <10% bias), LBM_CAE_REPS (3),
+       LBM_CAE_CASES ("nloc,nx,K;..." shape override),
+       LBM_CAE_INPLACE_B (force the in-place engine's block height),
+       LBM_CAE_STORAGE=i16 (quantized state: measures the slab sweep and
+       the single-step kernel, the engines with i16 variants)
 """
 
 from __future__ import annotations
@@ -109,6 +113,11 @@ def main() -> int:
                 lattice.equilibrium_rest(params.density, nloc, nx), np.float32
             ) * (1.0 + 0.01 * r.random((9, nloc, nx), dtype=np.float32))
         )
+        storage = os.environ.get("LBM_CAE_STORAGE", "f32")
+        if storage == "i16":
+            from lbm_tpu.ops import quant
+
+            f = quant.quantize(f, params.density)
         lo = jnp.asarray(np.asarray(f[:, -K:, :]))
         hi = jnp.asarray(np.asarray(f[:, :K, :]))
         mask = np.zeros((nloc + 2 * K, nx), dtype=bool)
@@ -116,7 +125,45 @@ def main() -> int:
         obst_ext = jnp.asarray(mask.astype(np.float32))
         off = jnp.int32(nloc)  # interior shard
         cells = nloc * nx
-        print(f"--- shard {nloc}x{nx} K={K} ({note})", flush=True)
+        print(f"--- shard {nloc}x{nx} K={K} ({note}, {storage})", flush=True)
+
+        if storage == "i16":
+            # Only the slab sweep and the single-step kernel have i16
+            # variants (the resident ca engines are f32-only).
+            if temporal_pallas.supports_shard(params, nloc, nx, K):
+                try:
+                    eng = temporal_pallas.make_slab_sweep(
+                        params, nloc, nx, K, ny_global=ny_global,
+                        storage="i16",
+                    )
+                    mlups, us, cs = _time(
+                        eng, (f, lo, hi, obst_ext, off), cells, K, sweeps,
+                        reps,
+                    )
+                    print(f"slab-i16: {mlups:8.0f} MLUPS/shard "
+                          f"({us:.2f} us/step, compile {cs:.0f} s)",
+                          flush=True)
+                except Exception as e:
+                    print(f"slab-i16: FAIL {type(e).__name__}: "
+                          f"{str(e).splitlines()[0][:140]}", flush=True)
+            else:
+                print("slab-i16: does not map", flush=True)
+            sp = _params(nloc, nx, 100)
+            mask1 = np.zeros((nloc, nx), dtype=bool)
+            mask1[:, 0] = mask1[:, -1] = True
+            if fused_pallas.supports(sp):
+                try:
+                    step = fused_pallas.make_step(sp, mask1, storage="i16")
+                    mlups, us, cs = _time(
+                        lambda g: step(g), (f,), cells, 1, sweeps * K, reps
+                    )
+                    print(f"single-i16: {mlups:6.0f} MLUPS/shard "
+                          f"({us:.2f} us/step, compile {cs:.0f} s)",
+                          flush=True)
+                except Exception as e:
+                    print(f"single-i16: FAIL {type(e).__name__}: "
+                          f"{str(e).splitlines()[0][:140]}", flush=True)
+            continue
 
         if resident_pallas.supports_ca_shard(nloc, nx, K):
             try:

@@ -504,6 +504,66 @@ def test_ca_default_depth_in_run_label():
     np.testing.assert_allclose(res.f, res_sync.f, atol=5e-7)
 
 
+@pytest.mark.parametrize("parts", [2, 4])
+def test_ca_inplace_split_bitwise(parts):
+    """Intra-shard splitting (the ca trick applied WITHIN the chip: each
+    sub-slab reads K-deep ghosts from the neighboring sub-slab's pre-sweep
+    state and recomputes its boundary evolution) leaves FIELDS bitwise-
+    identical to the unsplit sweep at every shard offset; av partials sum
+    in part order (the documented ~1-ulp float-sum grouping contract)."""
+    from lbm_tpu.core import lattice
+    from lbm_tpu.ops import resident_pallas
+
+    ny, nloc, K, nx = 192, 64, 8, 256
+    params = LBMParams(
+        nx=nx, ny=ny, max_iters=STEPS, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    r = np.random.default_rng(17)
+    mask = r.random((ny, nx)) < 0.08
+    mask[0, :] = mask[-1, :] = True
+    f_full = np.asarray(
+        lattice.equilibrium_rest(params.density, ny, nx), np.float32
+    )
+    f_full *= 1.0 + 0.01 * r.random(f_full.shape, dtype=np.float32)
+    whole = resident_pallas.make_ca_inplace_runner(
+        params, nloc, nx, K, ny_global=ny, interpret=True, parts=1
+    )
+    split = resident_pallas.make_ca_inplace_runner(
+        params, nloc, nx, K, ny_global=ny, interpret=True, parts=parts
+    )
+    for off in (0, nloc, 2 * nloc):
+        rows = lambda a, b: np.arange(a, b) % ny
+        f = jnp.asarray(f_full[:, rows(off, off + nloc)])
+        lo = jnp.asarray(f_full[:, rows(off - K, off)])
+        hi = jnp.asarray(f_full[:, rows(off + nloc, off + nloc + K)])
+        obst_ext = jnp.asarray(
+            mask[rows(off - K, off + nloc + K)].astype(np.float32)
+        )
+        f_w, av_w = whole(f, lo, hi, obst_ext, off)
+        f_s, av_s = split(f, lo, hi, obst_ext, off)
+        assert np.array_equal(np.asarray(f_w), np.asarray(f_s)), off
+        np.testing.assert_allclose(
+            np.asarray(av_w), np.asarray(av_s), rtol=1e-6
+        )
+
+
+def test_ca_inplace_parts_planner():
+    """The split planner returns 1 where the whole shard fits, the
+    smallest fitting split where it does not, and None where no split
+    maps (e.g. K > nloc for every divisor)."""
+    from lbm_tpu.ops import resident_pallas as rp
+
+    assert rp.ca_inplace_parts(64, 256, 8, 192) == 1
+    # 1024x2048 f32 needs ~85 MiB whole (past the 48 MiB band) but halves
+    # map at 48 — the shard class that motivated the split.
+    assert rp.ca_inplace_parts(1024, 2048, 8, 8192) == 2
+    # 4096-lane shards: no monolithic engine holds them; splits do.
+    assert rp.ca_inplace_parts(512, 4096, 8, 8192) == 2
+    assert rp.ca_inplace_parts(2048, 4096, 8, 8192) == 8
+    assert rp.ca_inplace_parts(8, 256, 16, 512) is None  # nloc < K
+
+
 def test_ca_inplace_i8_mask_bitwise():
     """The capacity-edge int8 obstacle encoding (forced via mask_i8=True —
     auto engages it only on 1024x2048-class shards whose f32 mask misses
