@@ -524,18 +524,16 @@ def _make_scan(
             """state -> (state, (n,) per-step tot_us), advancing n steps
             (``start``: global step position at entry — chunked programs
             derive the in-chunk phase and the sync-tail boundary from it)."""
-            if program.make_run_all is not None:
+            if program.make_run_all is not None and (
+                spc == 1 or start % spc == 0
+            ):
                 # The whole-run hook knows nothing about chunk phase: it is
-                # only sound from phase 0 of a single-step-per-call program.
-                # No multi-step (chunked/ca) program sets it today; if one
-                # ever does, fail loudly rather than silently advancing a
-                # mid-chunk segment on a phase-0 exchange schedule (which
-                # would break the frames≡plain bitwise contract).
-                assert spc == 1 or start == 0, (
-                    "make_run_all cannot advance a multi-step program from "
-                    f"in-chunk phase {start % spc}; route through the chunk "
-                    "primitives instead"
-                )
+                # only sound from phase 0 (a sweep/exchange boundary).  For
+                # the split-parts ca hook, every multiple-of-K start IS a
+                # boundary (the ca state at sweep edges is bare f with no
+                # ghost carry), and the hook declines non-multiple lengths
+                # itself — off-phase segments fall through to the per-step
+                # machinery below, bitwise-identical.
                 ra = program.make_run_all(n)
                 if ra is not None:
                     return ra

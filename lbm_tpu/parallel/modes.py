@@ -275,25 +275,24 @@ def ca_engine_choice(
     i.e. the monolithic resident extended-slab kernel wins NARROW shards
     (<= 1024 lanes) up to ~112 rows — past either edge Mosaic schedules
     its whole-slab ops poorly and the rate collapses — and the in-place
-    blocked sweep wins everywhere else it maps WHOLE (its one measured
-    loss, 128x1024 K=4, is 4%; it wins that shard's K=8 by the same
-    margin).  Auto therefore picks resident inside the narrow box,
-    unsplit in-place outside it, and the streaming slab as the coverage
-    fallback: i16 storage, clone-column padding, K < 2, and shards past
-    the in-place engine's 48 MiB verified band (1024x2048 K=8 runs the
-    slab at 13.1k — its in-place builds at 72/88 MiB hang or HTTP-500 the
-    compile helper, resident_pallas._ca_inplace_plan).
+    blocked sweep wins everywhere else it maps (its one measured loss
+    among whole-shard shapes, 128x1024 K=4, is 4%; it wins that shard's
+    K=8 by the same margin).  Auto therefore picks resident inside the
+    narrow box, in-place outside it, and the streaming slab as the
+    coverage fallback: i16 storage, clone-column padding, K < 2.
 
-    Shards past the band can also run the in-place engine as SPLIT
-    sub-sweeps (resident_pallas.ca_inplace_parts — K-deep local ghosts,
-    bitwise).  Measured at K=8: the split composition pays ~75 us/step of
-    part-IO round-trips at 1024x2048 (11.9k vs slab 13.1k, despite each
-    528x2048 half running 21.0k alone), roughly ties slab at 2048x2048
-    (12.7k vs 12.1k), and is the ONLY mapping engine at 4096-lane shards
-    (512x4096 K=8: 12.2k vs the per-step kernels' 4.6k).  Auto therefore
-    uses the split form strictly as coverage — where no unsplit engine
-    maps — and prefers the slab where both map.  All three engines stay
-    forceable for certification.
+    Shards past the in-place engine's 48 MiB verified band (its 72/88 MiB
+    builds hang or HTTP-500 the compile helper,
+    resident_pallas._ca_inplace_plan) run as SPLIT sub-sweeps
+    (resident_pallas.ca_inplace_parts — K-deep local ghosts, bitwise).
+    Plain runs then ride the parts-carried whole-run hook (the state stays
+    as per-part arrays across the scan), measured at K=8: 18.0k at
+    1024x2048 (slab: 13.1k), 17.6k at 2048x2048 (12.1k), 18.7k at
+    512x4096 — a shape where NO other engine maps and the per-step
+    kernels run 4.6k.  The per-step split step() (frames, --debug, odd
+    tails) pays ~75 us/step of part-IO round-trips instead (11.9k at
+    1024x2048 — slightly below slab on that one shape; the plain path
+    dominates).  All three engines stay forceable for certification.
     """
     import os
 
@@ -321,24 +320,15 @@ def ca_engine_choice(
         return "resident" if res_ok else None
     if forced == "inplace":
         return "inplace" if inp_ok else None
-    inp_whole = inp_ok and (
-        resident_pallas.ca_inplace_parts(nloc, nx, K, params.ny) == 1
-    )
     in_narrow_box = nloc <= 112 and nx <= 1024
     if res_ok and (in_narrow_box or not (slab_ok or inp_ok)):
         return "resident"
-    if inp_whole and not in_narrow_box:
-        return "inplace"
-    if inp_ok and nloc >= 2048:
-        # Height crossover: the slab's streaming rate degrades with shard
-        # height (13.1k at 1024x2048 -> 12.1k at 2048x2048) while the
-        # split composition stays flat (11.9k -> 12.7k) — split wins from
-        # ~2048 rows.
+    if inp_ok and not in_narrow_box:
         return "inplace"
     if slab_ok:
         return "slab"
     if inp_ok:
-        return "inplace"  # split coverage: the only engine that maps
+        return "inplace"
     return None
 
 
@@ -1149,9 +1139,18 @@ def build_sharded_program(
         # fields; their
         # av partials group rows differently (~1-ulp float-sum reordering,
         # the documented temporal-kernel contract).
+        ca_parts = 1
         if ca_engine == "inplace":
+            import os
+
+            forced_parts = os.environ.get("LBM_CA_PARTS", "").strip()
+            ca_parts = (
+                int(forced_parts)
+                if forced_parts
+                else (resident_pallas.ca_inplace_parts(nloc, nx, K_ca, ny) or 1)
+            )
             ca_sweep = resident_pallas.make_ca_inplace_runner(
-                params, nloc, nx, K_ca, ny_global=ny
+                params, nloc, nx, K_ca, ny_global=ny, parts=ca_parts
             )
         elif ca_engine == "resident":
             ca_sweep = resident_pallas.make_ca_chunk_runner(
@@ -1201,6 +1200,43 @@ def build_sharded_program(
             f_local, ghost_lo, ghost_hi, obst_slab_ext, shard_row_offset()
         )
         return new_f, tots
+
+    # Parts-carried fast path for SPLIT in-place ca: per-step, the split
+    # composition pays ~75 us/step of part-IO round-trips (slice + concat
+    # through HBM every sweep — 1024x2048: 11.9k vs the 18.0k the same
+    # sub-kernels sustain when the state STAYS as parts, measured round 4).
+    # The whole-run hook keeps the state as per-part arrays across the scan
+    # (the exchange only reads edge rows: part 0's top / part -1's bottom),
+    # splitting once at entry and joining once at exit — amortized over a
+    # 4000-step segment.  Fields/av are bitwise-identical to the per-step
+    # split runner: the same inner kernel consumes the same pre-sweep
+    # neighbor values, and avs sum in the same part order.
+    if mode == "ca" and ca_engine == "inplace" and ca_parts > 1:
+        sub_ca = nloc // ca_parts
+        inner_ca = resident_pallas.make_ca_inplace_runner(
+            params, sub_ca, nx, K_ca, ny_global=ny, parts=1
+        )
+
+        def step_ca_parts(ps, obst_slab_ext):
+            send_lo = ps[-1][:, -K_ca:, :]
+            send_hi = ps[0][:, :K_ca, :]
+            ghost_lo = lax.ppermute(send_lo, ROWS, fwd)
+            ghost_hi = lax.ppermute(send_hi, ROWS, bwd)
+            barrier = lax.optimization_barrier((*ps, ghost_lo, ghost_hi))
+            ps, ghost_lo, ghost_hi = barrier[:-2], barrier[-2], barrier[-1]
+            off = shard_row_offset()
+            new, av = [], None
+            for i in range(ca_parts):
+                out_i, av_i = inner_ca(
+                    ps[i],
+                    ps[i - 1][:, -K_ca:, :] if i else ghost_lo,
+                    ps[i + 1][:, :K_ca, :] if i < ca_parts - 1 else ghost_hi,
+                    obst_slab_ext[i * sub_ca : i * sub_ca + sub_ca + 2 * K_ca],
+                    off + i * sub_ca,
+                )
+                new.append(out_i)
+                av = av_i if av is None else av + av_i
+            return tuple(new), av
 
     def step_chunked(carry, obst_slab):
         # Beyond the reference: advance `staleness` steps per halo exchange,
@@ -1267,6 +1303,7 @@ def build_sharded_program(
 
     # Per-shard ghost rows live as global arrays of shape (9, R, nx) sharded
     # over the middle axis, one row per shard, so they reuse f_spec.
+    sharded_run_all = None  # set by split-parts ca below
     if mode == "sync":
         step = spmd(step_sync, f_spec)
         init_state = f_init
@@ -1275,6 +1312,42 @@ def build_sharded_program(
         step = spmd(step_ca, f_spec, slabs=ca_obst_slabs)
         init_state = f_init
         f_of = lambda s: s
+        if ca_engine == "inplace" and ca_parts > 1:
+            parts_step = spmd(
+                step_ca_parts, (f_spec,) * ca_parts, slabs=ca_obst_slabs
+            )
+            split_f = jax.shard_map(
+                lambda fl: tuple(
+                    fl[:, i * sub_ca : (i + 1) * sub_ca, :]
+                    for i in range(ca_parts)
+                ),
+                mesh=mesh,
+                in_specs=f_spec,
+                out_specs=(f_spec,) * ca_parts,
+                check_vma=False,
+            )
+            join_f = jax.shard_map(
+                lambda *ps: jnp.concatenate(ps, axis=1),
+                mesh=mesh,
+                in_specs=(f_spec,) * ca_parts,
+                out_specs=f_spec,
+                check_vma=False,
+            )
+
+            def sharded_run_all(num_steps):
+                if num_steps % K_ca:
+                    return None  # driver falls back to the per-step scan
+
+                def run_all(f):
+                    def body(ps, _):
+                        return parts_step(ps)
+
+                    ps, tots = lax.scan(
+                        body, split_f(f), None, length=num_steps // K_ca
+                    )
+                    return join_f(*ps), tots.reshape(-1)
+
+                return run_all
     elif mode == "overlap":
         step = spmd(step_overlap, f_spec)
         init_state = f_init
@@ -1397,6 +1470,7 @@ def build_sharded_program(
         u_mag=u_mag,
         tot_cells=tot_cells,
         mesh=mesh,
+        make_run_all=sharded_run_all,
         variant=f"{mode}"
         + (
             # ca reports its *effective* exchange depth, not the raw

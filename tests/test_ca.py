@@ -564,6 +564,73 @@ def test_ca_inplace_parts_planner():
     assert rp.ca_inplace_parts(8, 256, 16, 512) is None  # nloc < K
 
 
+def _tall_ca_scene():
+    # 16-row shards over 4 devices: splittable into two 8-row sub-slabs.
+    params = LBMParams(
+        nx=128, ny=64, max_iters=STEPS, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    r = np.random.default_rng(23)
+    mask = r.random((64, 128)) < 0.08
+    mask[0, :] = mask[-1, :] = True
+    return params, mask
+
+
+def test_ca_parts_carried_run_all(mesh4, monkeypatch):
+    """Split in-place ca exposes the parts-carried whole-run hook (state
+    stays as per-part arrays across the scan; split/join once per call):
+    the hook's trajectory is bitwise-equal to the per-step split step()
+    on fields and exact on the av series, and it declines step counts
+    that are not sweep multiples."""
+    params, mask = _tall_ca_scene()
+    monkeypatch.setenv("LBM_CA_ENGINE", "inplace")
+    monkeypatch.setenv("LBM_CA_PARTS", "2")
+    prog = modes.build_sharded_program(
+        params, mask, mesh4, mode="ca", staleness=4
+    )
+    assert prog.engine == "inplace"
+    assert prog.make_run_all is not None
+    assert prog.make_run_all(10) is None  # not a sweep multiple
+    run_all = prog.make_run_all(8)
+    f_fast, tots_fast = jax.jit(run_all)(prog.init_state)
+    state = prog.init_state
+    tots = []
+    step = jax.jit(prog.step)
+    for _ in range(2):
+        state, t = step(state)
+        tots.append(np.asarray(t))
+    assert np.array_equal(np.asarray(f_fast), np.asarray(state))
+    np.testing.assert_array_equal(
+        np.asarray(tots_fast), np.concatenate(tots)
+    )
+
+
+def test_ca_parts_carried_full_run_matches_sync(monkeypatch):
+    """run_simulation over the forced 2-part in-place engine (driver picks
+    the parts-carried hook for sweep-multiple runs) reproduces sync
+    bitwise, including a NON-multiple step count via the sync tail."""
+    from lbm_tpu.io.scene import Scene
+
+    params, mask = _tall_ca_scene()
+    scene = Scene(params=params, obstacles=mask)
+    monkeypatch.setenv("LBM_CA_ENGINE", "inplace")
+    monkeypatch.setenv("LBM_CA_PARTS", "2")
+    res_ca = run_simulation(
+        scene, RunConfig(variant="ca", num_devices=4, staleness=4,
+                         num_steps=10),
+    )
+    monkeypatch.delenv("LBM_CA_ENGINE")
+    monkeypatch.delenv("LBM_CA_PARTS")
+    res_sync = run_simulation(
+        scene, RunConfig(variant="sync", num_devices=4, num_steps=10)
+    )
+    assert res_ca.variant == "ca-4+sync-tail2"
+    np.testing.assert_allclose(res_ca.f, res_sync.f, atol=5e-7)
+    np.testing.assert_allclose(
+        res_ca.av_vels, res_sync.av_vels, rtol=1e-4
+    )
+
+
 def test_ca_inplace_i8_mask_bitwise():
     """The capacity-edge int8 obstacle encoding (forced via mask_i8=True —
     auto engages it only on 1024x2048-class shards whose f32 mask misses
