@@ -129,9 +129,10 @@ def _pick_variant(scene: Scene, config: RunConfig) -> str:
     #    disciplines within noise).  Exact + fastest kernel + K-fold fewer
     #    collectives dominates the lossy async discipline on every
     #    measurable axis here (ICI latency hiding remains unmeasured —
-    #    one chip).  Exception: --debug with i16 (the multi-step i16
-    #    program cannot decompose per-step; auto must not pick a
-    #    configuration that raises).
+    #    one chip).  Exception: --debug or --frame-interval with i16
+    #    (the multi-step i16 program cannot decompose per-step — its
+    #    once-per-sweep quantization grouping differs from sync's —
+    #    so auto must not pick a configuration run_simulation rejects).
     # 2. Where ca cannot map (engine gates, open seams, jnp backend):
     #    the stale-fraction model (1.6% stale rows -> ~0.15% deviation,
     #    3% -> ~0.5%) picks the latency-hiding async discipline when its
@@ -161,7 +162,10 @@ def _pick_variant(scene: Scene, config: RunConfig) -> str:
         )
         if (
             config.backend != "jnp"
-            and not (config.debug and config.storage == "i16")
+            and not (
+                config.storage == "i16"
+                and (config.debug or config.frame_interval is not None)
+            )
             and modes.ca_supported(
                 params, scene.obstacles, n_dev, ca_stal, config.storage
             )

@@ -220,12 +220,14 @@ def describe_plan(scene: Scene, config) -> str:
                 eng = modes.ca_engine_choice(
                     params, nloc_pad, nx + pad_cols, K_ca,
                     pad_cols=pad_cols, storage=config.storage,
+                    ny_global=ny + pad_rows,
                 )
                 if eng == "inplace":
                     from lbm_tpu.ops import resident_pallas
 
                     parts = resident_pallas.ca_inplace_parts(
-                        nloc_pad, nx + pad_cols, K_ca, ny + pad_rows
+                        nloc_pad, nx + pad_cols, K_ca, ny + pad_rows,
+                        config.storage,
                     )
                     sub = nloc_pad // (parts or 1)
                     split = (

@@ -194,7 +194,7 @@ def _chunk_kernel(
     f_ref,  # (9, ny, nx) VMEM in
     obst_ref,  # (ny, nx) f32 VMEM in
     fout_ref,  # (9, ny, nx) VMEM out
-    av_ref,  # (chunk, 1) f32 SMEM out
+    av_ref,  # (chunk, 1) f32 SMEM out — or (chunk, nx) f32 VMEM ("vector")
     *,
     chunk: int,
     ny: int,
@@ -202,7 +202,22 @@ def _chunk_kernel(
     accel_row: int,
     w1a: float,
     w2a: float,
+    av_mode: str = "scalar",
+    ablate: str = "",
 ):
+    # ``av_mode`` (VERDICT r4 #3, the small-grid fixed-cost hunt): how the
+    # per-step |u| partial leaves the kernel.  Fields are bitwise-identical
+    # across all three; only the reduction grouping differs (the documented
+    # ~1-ulp av contract).
+    #   scalar  full cross-lane reduce per step -> SMEM (rounds 2-4)
+    #   rows    sublane row-reduce per step, ONE lane reduce -> SMEM
+    #   vector  row-reduce only; the (chunk, nx) lane vectors go out as a
+    #           VMEM result and the lane reduction happens OUTSIDE the
+    #           kernel (XLA fuses it into the scan) — zero cross-lane
+    #           shuffles inside the hot loop
+    # ``ablate`` (scripts/exp_small.py only — never set from product
+    # paths): surgically removes one phase for per-phase accounting;
+    # results are WRONG under ablation.  noaccel / nostream / noav.
     fluid = obst_ref[...] == F32(0.0)
     obst = jnp.logical_not(fluid)
     row_mask = (
@@ -211,16 +226,39 @@ def _chunk_kernel(
 
     def one_step(src_ref, dst_ref, t):
         planes = [src_ref[k] for k in range(NS)]
-        planes = stencil_math.accel_planes(
-            planes, fluid, row_mask, F32(w1a), F32(w2a)
-        )
-        streamed = [
-            _roll2d(planes[k], lattice.CY[k], lattice.CX[k]) for k in range(NS)
-        ]
-        out, partial = stencil_math.collide_and_av(streamed, obst, F32(omega))
+        if "noaccel" not in ablate:
+            planes = stencil_math.accel_planes(
+                planes, fluid, row_mask, F32(w1a), F32(w2a)
+            )
+        if "nostream" in ablate:
+            streamed = planes
+        else:
+            streamed = [
+                _roll2d(planes[k], lattice.CY[k], lattice.CX[k])
+                for k in range(NS)
+            ]
+        if "noav" in ablate:
+            rho, u_x, u_y = stencil_math.moments(streamed)
+            u_sq = u_x * u_x + u_y * u_y
+            out = stencil_math.collide(
+                streamed, obst, F32(omega), rho, u_x, u_y, u_sq
+            )
+            av_ref[t, 0] = F32(0.0)
+        elif av_mode == "scalar":
+            out, partial = stencil_math.collide_and_av(
+                streamed, obst, F32(omega)
+            )
+            av_ref[t, 0] = partial
+        else:
+            out, partial = stencil_math.collide_and_av_rows(
+                streamed, obst, F32(omega)
+            )
+            if av_mode == "rows":
+                av_ref[t, 0] = jnp.sum(partial, dtype=F32)
+            else:  # vector (t is a loop tracer -> dynamic row slice)
+                av_ref[pl.ds(t, 1), :] = partial
         for k in range(NS):
             dst_ref[k] = out[k]
-        av_ref[t, 0] = partial
 
     pairs = chunk // 2
 
@@ -705,6 +743,7 @@ def make_chunk_runner(
     inplace: bool = False,
     block_rows: int | None = None,
     storage: str = "f32",
+    av_mode: str = "scalar",
     _ablate: str = "",
 ):
     """Build ``f -> (f_after_chunk, av_sums (chunk,))``, fully on-chip.
@@ -726,6 +765,15 @@ def make_chunk_runner(
         raise ValueError(
             "storage 'i16' maps only the in-place resident kernel "
             "(pass inplace=True)"
+        )
+    if av_mode not in ("scalar", "rows", "vector"):
+        raise ValueError(f"unknown av_mode {av_mode!r}")
+    if av_mode != "scalar" and (
+        inplace or force_blocked or not _fits(ny, nx, ny, limit_mb)
+    ):
+        raise ValueError(
+            "av_mode applies to the monolithic resident kernel only "
+            "(the blocked/in-place kernels already row-reduce per block)"
         )
     state_bytes = 2 if storage == "i16" else 4
     if not (supports(params, limit_mb) or force_blocked or inplace):
@@ -784,9 +832,16 @@ def make_chunk_runner(
             accel_row=params.accel_row,
             w1a=float(w1a),
             w2a=float(w2a),
+            av_mode=av_mode,
+            ablate=_ablate,
         )
     obst_f = jnp.asarray(obstacles, dtype=mask_dtype)
 
+    # "vector" av leaves the kernel as (chunk, nx) row-reduced lane vectors
+    # in VMEM; the lane reduction happens outside (XLA fuses it into the
+    # scan) — zero cross-lane shuffles inside the hot loop.  Only the
+    # monolithic kernel takes this path (small grids, VERDICT r4 #3).
+    vector_av = av_mode == "vector"
     call = pl.pallas_call(
         kernel,
         in_specs=[
@@ -795,11 +850,15 @@ def make_chunk_runner(
         ],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                memory_space=pltpu.VMEM if vector_av else pltpu.SMEM
+            ),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((NS, ny, nx), state_dtype),
-            jax.ShapeDtypeStruct((chunk, 1), jnp.float32),
+            jax.ShapeDtypeStruct(
+                (chunk, nx) if vector_av else (chunk, 1), jnp.float32
+            ),
         ),
         interpret=interpret,
         **aliases,
@@ -811,9 +870,17 @@ def make_chunk_runner(
         ),
     )
 
-    def run_chunk(f):
-        new_f, av = call(f, obst_f)
-        return new_f, av[:, 0]
+    if vector_av:
+
+        def run_chunk(f):
+            new_f, av = call(f, obst_f)
+            return new_f, jnp.sum(av, axis=1, dtype=jnp.float32)
+
+    else:
+
+        def run_chunk(f):
+            new_f, av = call(f, obst_f)
+            return new_f, av[:, 0]
 
     return run_chunk
 
@@ -829,6 +896,7 @@ def make_run_all(
     inplace: bool = False,
     block_rows: int | None = None,
     storage: str = "f32",
+    av_mode: str = "scalar",
     _ablate: str = "",
 ):
     """Build ``f0 -> (f_final, tot_us (num_steps,))`` running the whole loop
@@ -855,13 +923,13 @@ def make_run_all(
     run_chunk = make_chunk_runner(
         params, obstacles, chunk, interpret, force_blocked, limit_mb,
         inplace=inplace, block_rows=block_rows, storage=storage,
-        _ablate=_ablate,
+        av_mode=av_mode, _ablate=_ablate,
     )
     run_rem = (
         make_chunk_runner(
             params, obstacles, rem, interpret, force_blocked, limit_mb,
             inplace=inplace, block_rows=block_rows, storage=storage,
-            _ablate=_ablate,
+            av_mode=av_mode, _ablate=_ablate,
         )
         if rem
         else None
@@ -1239,12 +1307,19 @@ def make_ca_chunk_runner(
 # engine's whole-slab sum — the documented ~1-ulp av contract).
 
 
-def _ca_inplace_need(ext: int, nx: int, b: int, mask_bytes: int = 4) -> int:
+def _ca_inplace_need(
+    ext: int, nx: int, b: int, mask_bytes: int = 4, state_bytes: int = 4
+) -> int:
     # _inplace_need_bytes + the (16, nx) driven-row scratch.
-    return _inplace_need_bytes(ext, nx, b, mask_bytes) + 16 * nx * 4
+    return (
+        _inplace_need_bytes(ext, nx, b, mask_bytes, state_bytes)
+        + 16 * nx * 4
+    )
 
 
-def _ca_inplace_plan(nloc: int, nx: int, K: int) -> tuple[int, bool] | None:
+def _ca_inplace_plan(
+    nloc: int, nx: int, K: int, storage: str = "f32"
+) -> tuple[int, bool] | None:
     """(scoped-VMEM limit, mask_i8) for the in-place ca sweep, or None.
 
     Limit 0 means the 16 MiB default; otherwise the 48 MiB band — the ONLY
@@ -1256,28 +1331,44 @@ def _ca_inplace_plan(nloc: int, nx: int, K: int) -> tuple[int, bool] | None:
     HTTP-500s it — so those shards fall back to the streaming slab sweep
     (13.4k MLUPS/shard at 1024x2048 K=8) instead of auto-routing into a
     crash.  The mask drops to int8 only when that is what fits the band
-    (the grid kernel's capacity-edge rule, _inplace_mask_i8)."""
+    (the grid kernel's capacity-edge rule, _inplace_mask_i8).
+
+    ``storage='i16'`` halves the resident slab bytes (round 5) under the
+    same 48 MiB band cap, bounded additionally by the grid i16 kernel's
+    measured refs ceiling (_INPLACE_I16_REF_CEILING — its dequantized f32
+    window temporaries crash the compile helper well before f32's limit)."""
     ext = nloc + 2 * K
+    state_bytes = 2 if storage == "i16" else 4
+    ceiling = (
+        _INPLACE_I16_REF_CEILING if storage == "i16" else _INPLACE_REF_CEILING
+    )
     for mb in (vmem.DEFAULT_LIMIT_MB, 48):
-        cap = min(mb * 2**20, _INPLACE_REF_CEILING)
-        if _ca_inplace_need(ext, nx, 8) <= cap:
+        cap = min(mb * 2**20, ceiling)
+        if _ca_inplace_need(ext, nx, 8, 4, state_bytes) <= cap:
             return (0 if mb == vmem.DEFAULT_LIMIT_MB else mb), False
-        if _ca_inplace_need(ext, nx, 8, mask_bytes=1) <= cap:
+        if _ca_inplace_need(ext, nx, 8, 1, state_bytes) <= cap:
             return (0 if mb == vmem.DEFAULT_LIMIT_MB else mb), True
     return None
 
 
 def _ca_pick_block_rows(
-    ext: int, nx: int, limit_mb: int | None, mask_bytes: int = 4
+    ext: int,
+    nx: int,
+    limit_mb: int | None,
+    mask_bytes: int = 4,
+    state_bytes: int = 4,
 ) -> int:
     """Largest fitting 8-aligned divisor of ext up to 40 rows (the grid
     kernel's measured B=32-class optimum; ext is rarely 32-divisible)."""
-    cap = min(vmem.limit_mb(limit_mb) * 2**20, _INPLACE_REF_CEILING)
+    ceiling = (
+        _INPLACE_I16_REF_CEILING if state_bytes == 2 else _INPLACE_REF_CEILING
+    )
+    cap = min(vmem.limit_mb(limit_mb) * 2**20, ceiling)
     best = None
     for b in range(8, min(ext, 40) + 1, 8):
         if ext % b:
             continue
-        if _ca_inplace_need(ext, nx, b, mask_bytes) <= cap:
+        if _ca_inplace_need(ext, nx, b, mask_bytes, state_bytes) <= cap:
             best = b
         else:
             break
@@ -1289,7 +1380,9 @@ def _ca_pick_block_rows(
     return best
 
 
-def _ca_inplace_maps_whole(nloc: int, nx: int, K: int, ny_global: int) -> bool:
+def _ca_inplace_maps_whole(
+    nloc: int, nx: int, K: int, ny_global: int, storage: str = "f32"
+) -> bool:
     # The single-sweep (parts=1) feasibility test.
     ext = nloc + 2 * K
     return (
@@ -1299,11 +1392,13 @@ def _ca_inplace_maps_whole(nloc: int, nx: int, K: int, ny_global: int) -> bool:
         and ext % 8 == 0
         and nloc >= K
         and ext <= ny_global
-        and _ca_inplace_plan(nloc, nx, K) is not None
+        and _ca_inplace_plan(nloc, nx, K, storage) is not None
     )
 
 
-def ca_inplace_parts(nloc: int, nx: int, K: int, ny_global: int) -> int | None:
+def ca_inplace_parts(
+    nloc: int, nx: int, K: int, ny_global: int, storage: str = "f32"
+) -> int | None:
     """Sub-slab count for the in-place ca sweep: 1 when the whole shard
     fits the engine's VMEM band, the smallest even split whose sub-slabs
     do otherwise, None when no split maps.
@@ -1324,17 +1419,19 @@ def ca_inplace_parts(nloc: int, nx: int, K: int, ny_global: int) -> int | None:
         if nloc % parts:
             continue
         sub = nloc // parts
-        if _ca_inplace_maps_whole(sub, nx, K, ny_global):
+        if _ca_inplace_maps_whole(sub, nx, K, ny_global, storage):
             return parts
     return None
 
 
-def supports_ca_inplace(nloc: int, nx: int, K: int, ny_global: int) -> bool:
+def supports_ca_inplace(
+    nloc: int, nx: int, K: int, ny_global: int, storage: str = "f32"
+) -> bool:
     """Whether the in-place blocked ca sweep maps an nloc-row shard at
     depth K, possibly as split sub-sweeps (:func:`ca_inplace_parts`).
     ``ext <= ny_global`` guarantees the driven row has at most one image
     in the extended slab (the one-hot extraction's contract)."""
-    return ca_inplace_parts(nloc, nx, K, ny_global) is not None
+    return ca_inplace_parts(nloc, nx, K, ny_global, storage) is not None
 
 
 def _ca_inplace_kernel(
@@ -1353,12 +1450,22 @@ def _ca_inplace_kernel(
     accel_row: int,
     w1a: float,
     w2a: float,
+    storage: str = "f32",
+    density: float = 0.0,
 ):
     del fin_ref  # aliased into f_ref (one name => Mosaic sees every
     # read-write dependency in program order)
     B = block_rows
     ext = nloc + 2 * K
     nb = ext // B
+    # Storage codec (ops/quant.py): i16 keeps the resident extended slab as
+    # int16 fixed-point deviations — every row READ dequantizes to f32,
+    # every block STORE requantizes (the grid-level in-place i16 kernel's
+    # per-step contract; the slab i16 ca engine instead quantizes once per
+    # sweep, so the two i16 ca engines agree within the quantization
+    # envelope, not bitwise — both are documented lossy modes).  f32 codecs
+    # are identity, so that path's ops are byte-for-byte what they were.
+    deq, enq = quant.plane_codec(storage, density)
 
     def _mask_f32(rows):
         # int8 masks (capacity-edge shards) compare through an f32 convert:
@@ -1393,7 +1500,7 @@ def _ca_inplace_kernel(
     # extraction: at most one live mask row, so the masked sum IS the row).
     for k in range(NS):
         ar_ref[k : k + 1, :] = jnp.sum(
-            f_ref[k] * arow_f, axis=0, keepdims=True
+            deq(f_ref[k], k) * arow_f, axis=0, keepdims=True
         )
 
     def one_step(t):
@@ -1402,12 +1509,14 @@ def _ca_inplace_kernel(
             planes_ar, fluid_ar, ar_mask, F32(w1a), F32(w2a)
         )
         # Old row 0: block nb-1's wrap read after block 0 overwrote it.
-        save0 = [f_ref[k, 0:1, :] for k in range(NS)]
+        save0 = [deq(f_ref[k, 0:1, :], k) for k in range(NS)]
         carry = None  # old row r0-1 for the current block (value)
 
         def window(k, r0, carry_k):
             # Same assembly as _inplace_blocked_kernel minus the static
             # accel substitution (the driven row is positional here).
+            # Every part is dequantized at read, so the concat (and the
+            # lane rotation after it) runs on f32 regardless of storage.
             cy = lattice.CY[k]
             parts = []
             run_start = None
@@ -1416,18 +1525,18 @@ def _ca_inplace_kernel(
                 single = jm != j or j == r0 - 1
                 if single:
                     if run_start is not None:
-                        parts.append(f_ref[k, run_start:j, :])
+                        parts.append(deq(f_ref[k, run_start:j, :], k))
                         run_start = None
                     if j == ext:  # wrap above the top block: old row 0
                         parts.append(save0[k])
                     elif j == r0 - 1 and r0 > 0:  # overwritten below-row
                         parts.append(carry_k)
                     else:  # j == -1 -> old row ext-1 (still old at block 0)
-                        parts.append(f_ref[k, jm : jm + 1, :])
+                        parts.append(deq(f_ref[k, jm : jm + 1, :], k))
                 elif run_start is None:
                     run_start = j
             if run_start is not None:
-                parts.append(f_ref[k, run_start : r0 + B - cy, :])
+                parts.append(deq(f_ref[k, run_start : r0 + B - cy, :], k))
             if len(parts) == 1 and lattice.CX[k] != 0:
                 p = parts[0]  # Mosaic: canonical layout for the rotation
                 parts = [p[:-1], p[-1:]]
@@ -1447,24 +1556,29 @@ def _ca_inplace_kernel(
                 window(k, r0, carry[k] if carry else None) for k in range(NS)
             ]
             # Old top row of this block — the next block's below-row.
-            carry = [f_ref[k, r0 + B - 1 : r0 + B, :] for k in range(NS)]
+            carry = [
+                deq(f_ref[k, r0 + B - 1 : r0 + B, :], k) for k in range(NS)
+            ]
             out, partial = stencil_math.collide_and_av_rows(
                 streamed, obst_blk, F32(omega),
                 row_mask=central[r0 : r0 + B],
             )
             for k in range(NS):
-                f_ref[k, r0 : r0 + B, :] = out[k]
+                f_ref[k, r0 : r0 + B, :] = enq(out[k], k)
 
             # Refresh the driven-row scratch from the block that stores it
             # (post-step values feed the NEXT step's injection).  Only that
             # block executes the masked extraction; the operands are its
-            # already-live outputs.
+            # already-live outputs — passed through the storage codec so
+            # the injected row equals what a re-read of the stored state
+            # would give (i16: the quantized value, keeping the scratch
+            # consistent with every other read of that row).
             @pl.when(has_ar[i])
             def _(out=out, r0=r0):
                 sl = arow_f[r0 : r0 + B]
                 for k in range(NS):
                     ar_ref[k : k + 1, :] = jnp.sum(
-                        out[k] * sl, axis=0, keepdims=True
+                        deq(enq(out[k], k), k) * sl, axis=0, keepdims=True
                     )
 
             tot = partial if tot is None else tot + partial
@@ -1487,6 +1601,7 @@ def make_ca_inplace_runner(
     block_rows: int | None = None,
     mask_i8: bool | None = None,
     parts: int | None = None,
+    storage: str = "f32",
 ):
     """Build the in-place blocked exact-ca per-shard sweep:
     ``(f, ghost_lo (9,K,nx), ghost_hi (9,K,nx), obst_ext, row_offset)
@@ -1502,9 +1617,18 @@ def make_ca_inplace_runner(
     an explicit count forces it.  Split sweeps run ONE compiled sub-shard
     kernel ``parts`` times with K-deep ghosts sliced from the pre-sweep
     state (fields bitwise vs the unsplit sweep; av partials sum in part
-    order — the documented ~1-ulp float-sum grouping contract)."""
+    order — the documented ~1-ulp float-sum grouping contract).
+
+    ``storage='i16'`` takes/returns the quantized int16 state and ghost
+    rows (ops/quant.py): half the resident VMEM and HALF the exchanged
+    halo bytes on the ICI ring.  Per-STEP quantization (the grid-level
+    in-place i16 kernel's contract) — agrees with the slab i16 ca engine
+    (once-per-sweep quantization) within the quantization envelope, not
+    bitwise."""
+    if storage not in ("f32", "i16"):
+        raise ValueError(f"unknown storage {storage!r}; use 'f32' or 'i16'")
     if parts is None:
-        parts = ca_inplace_parts(nloc, nx, K, ny_global)
+        parts = ca_inplace_parts(nloc, nx, K, ny_global, storage)
         if parts is None:
             raise ValueError(
                 f"shard {nloc}x{nx} at depth K={K} does not fit the "
@@ -1512,7 +1636,7 @@ def make_ca_inplace_runner(
             )
     if parts > 1:
         if nloc % parts or not _ca_inplace_maps_whole(
-            nloc // parts, nx, K, ny_global
+            nloc // parts, nx, K, ny_global, storage
         ):
             raise ValueError(
                 f"cannot split a {nloc}x{nx} shard into {parts} in-place "
@@ -1522,7 +1646,7 @@ def make_ca_inplace_runner(
         inner = make_ca_inplace_runner(
             params, sub, nx, K, ny_global,
             interpret=interpret, block_rows=block_rows, mask_i8=mask_i8,
-            parts=1,
+            parts=1, storage=storage,
         )
 
         def _rows(f, ghost_lo, ghost_hi, a, b):
@@ -1559,14 +1683,16 @@ def make_ca_inplace_runner(
             return jnp.concatenate(outs, axis=1), av
 
         return run_split
-    if not _ca_inplace_maps_whole(nloc, nx, K, ny_global):
+    if not _ca_inplace_maps_whole(nloc, nx, K, ny_global, storage):
         raise ValueError(
             f"shard {nloc}x{nx} at depth K={K} does not fit the in-place "
             "ca sweep"
         )
     if interpret is None:
         interpret = _use_interpret()
-    plan_limit, plan_mask_i8 = _ca_inplace_plan(nloc, nx, K)
+    state_bytes = 2 if storage == "i16" else 4
+    state_dtype = jnp.int16 if storage == "i16" else jnp.float32
+    plan_limit, plan_mask_i8 = _ca_inplace_plan(nloc, nx, K, storage)
     if mask_i8 is None:
         mask_i8 = plan_mask_i8
     limit = plan_limit or None
@@ -1577,10 +1703,23 @@ def make_ca_inplace_runner(
         # assumed the B=8 minimal footprint.  72/88 stay reachable HERE
         # (experiment escape hatch, scripts/exp_ca_engine.py) even though
         # the auto plan caps at 48 — the wider bands hang/500 the compile
-        # helper at the shapes auto would route there.
-        need = _ca_inplace_need(ext, nx, block_rows, 1 if mask_i8 else 4)
-        for mb in (vmem.DEFAULT_LIMIT_MB, 48, 72, 88):
-            if need <= min(mb * 2**20, _INPLACE_REF_CEILING):
+        # helper at the shapes auto would route there.  (i16 keeps the
+        # tighter grid-kernel refs ceiling and tops out at 72.)
+        need = _ca_inplace_need(
+            ext, nx, block_rows, 1 if mask_i8 else 4, state_bytes
+        )
+        bands = (
+            (vmem.DEFAULT_LIMIT_MB, 48, 72)
+            if storage == "i16"
+            else (vmem.DEFAULT_LIMIT_MB, 48, 72, 88)
+        )
+        ceiling = (
+            _INPLACE_I16_REF_CEILING
+            if storage == "i16"
+            else _INPLACE_REF_CEILING
+        )
+        for mb in bands:
+            if need <= min(mb * 2**20, ceiling):
                 limit = None if mb == vmem.DEFAULT_LIMIT_MB else mb
                 break
         else:
@@ -1594,12 +1733,16 @@ def make_ca_inplace_runner(
         K=K,
         nloc=nloc,
         block_rows=block_rows
-        or _ca_pick_block_rows(ext, nx, limit, 1 if mask_i8 else 4),
+        or _ca_pick_block_rows(
+            ext, nx, limit, 1 if mask_i8 else 4, state_bytes
+        ),
         ny_global=ny_global,
         omega=float(params.omega),
         accel_row=params.accel_row,
         w1a=float(w1a),
         w2a=float(w2a),
+        storage=storage,
+        density=float(params.density),
     )
     call = pl.pallas_call(
         kernel,
@@ -1613,7 +1756,7 @@ def make_ca_inplace_runner(
             pl.BlockSpec(memory_space=pltpu.SMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((NS, ext, nx), jnp.float32),
+            jax.ShapeDtypeStruct((NS, ext, nx), state_dtype),
             jax.ShapeDtypeStruct((K, 1), jnp.float32),
         ),
         input_output_aliases={1: 0},
@@ -1622,7 +1765,7 @@ def make_ca_inplace_runner(
         **vmem.compiler_params(limit),
         cost_estimate=pl.CostEstimate(
             flops=K * 130 * ext * nx,
-            bytes_accessed=2 * NS * ext * nx * 4,
+            bytes_accessed=2 * NS * ext * nx * state_bytes,
             transcendentals=K * ext * nx,
         ),
     )

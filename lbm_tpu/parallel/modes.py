@@ -242,6 +242,7 @@ def ca_engine_choice(
     pad_cols: int = 0,
     storage: str = "f32",
     backend: str = "pallas",
+    ny_global: int | None = None,
 ) -> str | None:
     """Which K-sweep engine backs the exact ca discipline for this shard
     shape: ``'slab'`` (streaming temporal slab sweep,
@@ -300,6 +301,13 @@ def ca_engine_choice(
 
     if backend != "pallas":
         return None
+    # ny_global: the INTERNAL (row-padded) global row count the build will
+    # actually run — the in-place engine's ext<=ny one-hot gate must see the
+    # same grid the runner is constructed with (ADVICE r4: evaluating it
+    # against the smaller unpadded params.ny rejected the engine on walled
+    # row-padded grids where it maps).  None = unpadded scenes.
+    if ny_global is None:
+        ny_global = params.ny
     slab_ok = temporal_pallas.supports_shard(
         params, nloc, nx, K, clone_nx=nx - pad_cols if pad_cols else None
     )
@@ -308,10 +316,8 @@ def ca_engine_choice(
         and not pad_cols
         and resident_pallas.supports_ca_shard(nloc, nx, K)
     )
-    inp_ok = (
-        storage == "f32"
-        and not pad_cols
-        and resident_pallas.supports_ca_inplace(nloc, nx, K, params.ny)
+    inp_ok = not pad_cols and resident_pallas.supports_ca_inplace(
+        nloc, nx, K, ny_global, storage
     )
     forced = os.environ.get("LBM_CA_ENGINE", "auto").strip().lower()
     if forced == "slab":
@@ -320,6 +326,20 @@ def ca_engine_choice(
         return "resident" if res_ok else None
     if forced == "inplace":
         return "inplace" if inp_ok else None
+    if storage == "i16":
+        # i16 (round 5): the in-place engine gained the int16 codec
+        # (resident_pallas.make_ca_inplace_runner storage='i16'), lifting
+        # the round-4 f32-only gate.  Auto keeps the measured round-4
+        # default — the streaming slab sweep — and uses in-place as the
+        # COVERAGE extension where no slab maps (e.g. 4096-lane shards);
+        # LBM_CA_ENGINE=inplace forces it for the head-to-head.  The
+        # monolithic resident engine stays f32-only (narrow-box shards are
+        # exactly where the slab i16 sweep already maps).
+        if slab_ok:
+            return "slab"
+        if inp_ok:
+            return "inplace"
+        return None
     in_narrow_box = nloc <= 112 and nx <= 1024
     if res_ok and (in_narrow_box or not (slab_ok or inp_ok)):
         return "resident"
@@ -561,16 +581,27 @@ def ca_supported(
     """Whether ca mode can map this scene over ``num_shards`` — mirrors the
     build_sharded_program gate exactly (lane padding feasibility, no open
     seams, a K-sweep engine that maps: the VMEM-resident extended-slab
-    sweep or the streaming temporal slab sweep).  Used by the driver's
-    auto policy and by --plan's will-FAIL prediction."""
-    from lbm_tpu.ops import fused_pallas, resident_pallas, temporal_pallas
+    sweeps or the streaming temporal slab sweep).  Used by the driver's
+    auto policy and by --plan's will-FAIL prediction.
+
+    Round 5: the gate is the ENGINE's own mapping test, not the per-step
+    slab kernel's — ca's step never calls the per-step kernel (tails and
+    frame micro-steps run through separate sync programs that pick their
+    own backend), so requiring sharded_pallas_supported over-rejected the
+    shapes only the in-place split engine maps (e.g. 8192-lane shards)."""
+    from lbm_tpu.ops import fused_pallas
 
     ny, nx = obstacles.shape
-    if not sharded_pallas_supported(ny, nx, num_shards):
-        return False
-    # sharded_pallas_supported already verified the padded-width VMEM
-    # footprint — only the pad size itself is needed here.
-    pad_cols = lane_pad_cols(nx) if nx % fused_pallas.LANE else 0
+    pad_cols = 0
+    if nx % fused_pallas.LANE:
+        # Mirror build_sharded_program's lane-padding feasibility gate: the
+        # padded-width block kernel footprint must fit, else the grid stays
+        # unpadded (and the non-lane-aligned engines reject below).
+        p = lane_pad_cols(nx)
+        if fused_pallas._kernel_footprint(8, nx + p) <= vmem.scale(
+            fused_pallas._VMEM_BUDGET
+        ):
+            pad_cols = p
     pad_rows = (-ny) % num_shards
     if open_seam_pad(obstacles, num_shards):
         return False  # ca rejects open-seam row padding
@@ -578,12 +609,15 @@ def ca_supported(
     if nloc < 2:
         return False
     K = ca_depth(staleness)
-    # Same engine policy as the mode builder (slab preferred, resident
-    # fallback, LBM_CA_ENGINE force) — support means SOME engine maps.
+    # Same engine policy as the mode builder (ca_engine_choice's round-4
+    # three-engine auto: monolithic resident inside the narrow box, in-place
+    # blocked sweep elsewhere, streaming slab as the coverage fallback,
+    # LBM_CA_ENGINE force) — support means SOME engine maps.
     return (
         ca_engine_choice(
             params, nloc, nx + pad_cols, K,
             pad_cols=pad_cols, storage=storage,
+            ny_global=ny + pad_rows,
         )
         is not None
     )
@@ -855,8 +889,24 @@ def build_sharded_program(
         raise ValueError(f"unknown storage {storage!r}; use 'f32' or 'i16'")
     auto_backend = backend is None
     if auto_backend:
+        # ca never runs the per-step slab kernel (its step is the K-sweep
+        # engine; tails/frame micro-steps are separate sync programs that
+        # pick their own backend), so its auto backend is pallas whenever
+        # ANY engine maps — including shapes the per-step kernel cannot
+        # (8192-lane shards ride the in-place split engine).  The engine
+        # gate below rejects with a pointed message when none maps.
         backend = (
-            "pallas" if sharded_pallas_supported(ny, nx, num_shards) else "jnp"
+            "pallas"
+            if (
+                sharded_pallas_supported(ny, nx, num_shards)
+                or (
+                    mode == "ca"
+                    and ca_supported(
+                        params, obstacles, num_shards, staleness, storage
+                    )
+                )
+            )
+            else "jnp"
         )
     if storage == "i16" and backend != "pallas":
         raise ValueError(
@@ -936,7 +986,7 @@ def build_sharded_program(
             )
         ca_engine = ca_engine_choice(
             params, nloc, nx, K_ca, pad_cols=pad_cols,
-            storage=storage, backend=backend,
+            storage=storage, backend=backend, ny_global=ny,
         )
         if ca_engine is None:
             raise ValueError(
@@ -1147,10 +1197,16 @@ def build_sharded_program(
             ca_parts = (
                 int(forced_parts)
                 if forced_parts
-                else (resident_pallas.ca_inplace_parts(nloc, nx, K_ca, ny) or 1)
+                else (
+                    resident_pallas.ca_inplace_parts(
+                        nloc, nx, K_ca, ny, storage
+                    )
+                    or 1
+                )
             )
             ca_sweep = resident_pallas.make_ca_inplace_runner(
-                params, nloc, nx, K_ca, ny_global=ny, parts=ca_parts
+                params, nloc, nx, K_ca, ny_global=ny, parts=ca_parts,
+                storage=storage,
             )
         elif ca_engine == "resident":
             ca_sweep = resident_pallas.make_ca_chunk_runner(
@@ -1214,7 +1270,7 @@ def build_sharded_program(
     if mode == "ca" and ca_engine == "inplace" and ca_parts > 1:
         sub_ca = nloc // ca_parts
         inner_ca = resident_pallas.make_ca_inplace_runner(
-            params, sub_ca, nx, K_ca, ny_global=ny, parts=1
+            params, sub_ca, nx, K_ca, ny_global=ny, parts=1, storage=storage
         )
 
         def step_ca_parts(ps, obst_slab_ext):

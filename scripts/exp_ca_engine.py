@@ -128,8 +128,31 @@ def main() -> int:
         print(f"--- shard {nloc}x{nx} K={K} ({note}, {storage})", flush=True)
 
         if storage == "i16":
-            # Only the slab sweep and the single-step kernel have i16
-            # variants (the resident ca engines are f32-only).
+            # i16 engines: the streaming slab sweep, the in-place blocked
+            # resident sweep (round 5 — per-step quantization), and the
+            # single-step kernel as the per-step proxy.
+            if resident_pallas.supports_ca_inplace(
+                nloc, nx, K, ny_global, "i16"
+            ):
+                try:
+                    force_b = os.environ.get("LBM_CAE_INPLACE_B")
+                    eng = resident_pallas.make_ca_inplace_runner(
+                        params, nloc, nx, K, ny_global=ny_global,
+                        block_rows=int(force_b) if force_b else None,
+                        storage="i16",
+                    )
+                    mlups, us, cs = _time(
+                        eng, (f, lo, hi, obst_ext, off), cells, K, sweeps,
+                        reps,
+                    )
+                    print(f"inplace-i16: {mlups:6.0f} MLUPS/shard "
+                          f"({us:.2f} us/step, compile {cs:.0f} s)",
+                          flush=True)
+                except Exception as e:
+                    print(f"inplace-i16: FAIL {type(e).__name__}: "
+                          f"{str(e).splitlines()[0][:140]}", flush=True)
+            else:
+                print("inplace-i16: does not map", flush=True)
             if temporal_pallas.supports_shard(params, nloc, nx, K):
                 try:
                     eng = temporal_pallas.make_slab_sweep(

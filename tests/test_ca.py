@@ -99,6 +99,71 @@ def test_ca_i16(ca_scene, mesh4):
     assert np.abs(f - f_sync).max() < 1e-4
 
 
+def test_ca_inplace_i16(ca_scene, mesh4, monkeypatch):
+    """Round 5 (VERDICT r4 #2): the in-place ca engine's int16 codec.
+
+    Per-STEP quantization — the grid-level in-place i16 kernel's contract —
+    so the forced-inplace i16 ca run matches the sync-i16 discipline (one
+    quant step of CPU-interpret noise here; bitwise on TPU) and the f32
+    sync run within the documented quantization envelope."""
+    params, mask = ca_scene
+    monkeypatch.setenv("LBM_CA_ENGINE", "inplace")
+    ca = modes.build_sharded_program(
+        params, mask, mesh4, mode="ca", staleness=4, storage="i16"
+    )
+    assert ca.engine == "inplace"
+    assert ca.variant == "ca-4-i16"
+    f, tots = _run(ca)
+    assert np.all(np.isfinite(f)) and np.all(np.isfinite(tots))
+    monkeypatch.delenv("LBM_CA_ENGINE")
+    sync16 = modes.build_sharded_program(
+        params, mask, mesh4, mode="sync", storage="i16"
+    )
+    f_s16, _ = _run(sync16)
+    assert np.abs(f - f_s16).max() < 3e-6
+    sync = modes.build_sharded_program(params, mask, mesh4, mode="sync")
+    f_sync, _ = _run(sync)
+    assert np.abs(f - f_sync).max() < 1e-4
+    # Auto policy for i16 keeps the measured round-4 default (slab) where
+    # the slab sweep maps; in-place is the forced/coverage engine.
+    assert modes.ca_engine_choice(
+        params, 8, 128, 4, storage="i16", ny_global=32
+    ) == "slab"
+
+
+def test_ca_inplace_i16_split_parts(monkeypatch):
+    """Split sub-sweeps with the i16 codec: forced 2-way split over 16-row
+    shards agrees with the unsplit forced-inplace i16 run bitwise (same
+    kernels, same quantization points) and stays inside the envelope."""
+    params = LBMParams(
+        nx=128, ny=64, max_iters=8, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    r = np.random.default_rng(13)
+    mask = r.random((64, 128)) < 0.08
+    mask[0, :] = mask[-1, :] = True
+    mesh4 = mesh_lib.make_row_mesh(4)
+    monkeypatch.setenv("LBM_CA_ENGINE", "inplace")
+    whole = modes.build_sharded_program(
+        params, mask, mesh4, mode="ca", staleness=4, storage="i16"
+    )
+    monkeypatch.setenv("LBM_CA_PARTS", "2")
+    split = modes.build_sharded_program(
+        params, mask, mesh4, mode="ca", staleness=4, storage="i16"
+    )
+    f_w, tot_w = _run(whole, steps=8)
+    f_s, tot_s = _run(split, steps=8)
+    np.testing.assert_allclose(f_s, f_w, atol=3e-6)  # ulp->quant-step on CPU
+    np.testing.assert_allclose(tot_s, tot_w, rtol=1e-4)
+    # The parts-carried whole-run hook rides the same i16 sub-kernels.
+    assert split.make_run_all is not None
+    run_all = split.make_run_all(8)
+    st, tots_hook = jax.jit(run_all)(split.init_state)
+    np.testing.assert_array_equal(
+        np.asarray(split.f_of(st), np.float32), f_s
+    )
+
+
 def test_ca_arbitrary_step_count_runs_sync_tail(ca_scene):
     # --variant ca --steps 10 with K=4: 8 bulk steps + a 2-step exact sync
     # tail, bitwise continuation of the run (VERDICT r2 #5).
@@ -365,6 +430,57 @@ def test_frames_i16_ca_rejected(ca_scene):
         run_simulation(scene, cfg)
     plan = describe_plan(scene, cfg)
     assert "will FAIL" in plan and "f32 storage" in plan
+
+
+def test_auto_i16_frames_never_picks_ca(ca_scene):
+    """ADVICE r4 (medium): auto picked ca for multi-device i16 runs with
+    --frame-interval, then run_simulation raised ('--frame-interval with
+    i16 ca is not supported').  Auto must never select a configuration
+    that raises — it falls back to the stale-fraction rule instead."""
+    from lbm_tpu.io.scene import Scene
+    from lbm_tpu.models.driver import _pick_variant
+
+    params, mask = ca_scene
+    scene = Scene(params=params, obstacles=mask)
+    # The same scene auto-picks ca without frames...
+    assert _pick_variant(scene, RunConfig(num_devices=4, storage="i16")) == "ca"
+    cfg = RunConfig(
+        num_devices=4, storage="i16", frame_interval=4, num_steps=8
+    )
+    picked = _pick_variant(scene, cfg)
+    assert picked in ("async", "overlap")
+    # ...and the frames run itself must now succeed end-to-end.
+    res = run_simulation(scene, cfg)
+    assert res.frames is not None and res.frames.shape[0] == 2
+    assert np.all(np.isfinite(res.av_vels))
+
+
+def test_ca_engine_choice_uses_padded_ny(monkeypatch):
+    """ADVICE r4 (low): the in-place engine's ext<=ny one-hot gate must be
+    evaluated against the row-PADDED global row count the build actually
+    constructs the runner with — the unpadded params.ny rejected the engine
+    on walled row-padded grids where it maps."""
+    params = LBMParams(
+        nx=128, ny=15, max_iters=8, reynolds_dim=10,
+        density=0.1, accel=0.005, omega=1.85,
+    )
+    mask = np.zeros((15, 128), dtype=bool)
+    mask[0, :] = mask[-1, :] = True  # walled seam: blocked row padding
+    monkeypatch.setenv("LBM_CA_ENGINE", "inplace")
+    # 15 rows over 2 shards pads to 16 -> 8-row shards; ext = 8 + 2*4 = 16.
+    # Against the unpadded ny the one-hot gate sees ext > 15 and rejects...
+    assert modes.ca_engine_choice(params, 8, 128, 4) is None
+    # ...but the build runs the padded 16-row grid, where the engine maps.
+    assert modes.ca_engine_choice(params, 8, 128, 4, ny_global=16) == "inplace"
+    assert modes.ca_supported(params, mask, 2, staleness=4)
+    mesh2 = mesh_lib.make_row_mesh(2)
+    ca = modes.build_sharded_program(params, mask, mesh2, mode="ca", staleness=4)
+    assert ca.engine == "inplace"
+    sync = modes.build_sharded_program(params, mask, mesh2, mode="sync")
+    f_ca, tot_ca = _run(ca, steps=8)
+    f_sync, tot_sync = _run(sync, steps=8)
+    np.testing.assert_allclose(f_ca, f_sync, atol=5e-7)
+    np.testing.assert_allclose(tot_ca, tot_sync, rtol=1e-4)
 
 
 def test_ca_resident_engine_matches_slab_sweep(ca_scene):

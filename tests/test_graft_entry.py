@@ -52,11 +52,16 @@ def test_dryrun_bootstraps_subprocess_when_devices_missing():
     )
     assert proc.returncode == 0, proc.stderr
     assert "BOOTSTRAP_OK" in proc.stdout
-    # 13 combos, each with an explicit correctness relation (VERDICT r2 #2):
+    # 17 combos, each with an explicit correctness relation (VERDICT r2 #2):
     # sync/overlap jnp bitwise, sync pallas, ca K=2 slab + K=4 under ALL
-    # THREE forced engines (round 4) exact, sync/overlap/ca i16, async 1/3
-    # + chunked bounded.
-    assert proc.stdout.count("dryrun ok:") == 13
+    # THREE forced engines (round 4) exact, the forced 2-way split-parts
+    # in-place ca + its parts-carried whole-run hook (round 5),
+    # sync/overlap/ca i16, async 1/3 + chunked inside the model-derived
+    # envelope, and the exact ghost-age reconstruction (round 5).
+    assert proc.stdout.count("dryrun ok:") == 17
     assert proc.stdout.count("bitwise") >= 2
     assert "exact comm-avoiding" in proc.stdout
+    assert "parts=2 split sub-sweeps" in proc.stdout
+    assert "parts-carried whole-run hook" in proc.stdout
     assert "bounded staleness" in proc.stdout
+    assert proc.stdout.count("ghost age exact") == 2

@@ -94,6 +94,26 @@ def test_resident_kernel_matches_jnp(scene128, steps, chunk):
     np.testing.assert_allclose(np.asarray(tots), tot_j, rtol=1e-6)
 
 
+@pytest.mark.parametrize("av_mode", ["rows", "vector"])
+def test_resident_av_modes_match_scalar(scene128, av_mode):
+    """The monolithic kernel's av reduction variants (VERDICT r4 #3):
+    fields bitwise-identical to the 'scalar' mode (only the |u| reduction
+    grouping moves), av within float-reorder tolerance."""
+    params, mask = scene128
+    f0 = jnp.asarray(lattice.equilibrium_rest(params.density, params.ny, params.nx))
+    runs = {
+        m: jax.jit(resident_pallas.make_run_all(
+            params, mask, 6, chunk=3, interpret=True, av_mode=m
+        ))
+        for m in ("scalar", av_mode)
+    }
+    f_s, tot_s = runs["scalar"](f0)
+    f_m, tot_m = runs[av_mode](f0)
+    assert tot_m.shape == (6,)
+    np.testing.assert_array_equal(np.asarray(f_m), np.asarray(f_s))
+    np.testing.assert_allclose(np.asarray(tot_m), np.asarray(tot_s), rtol=1e-6)
+
+
 @pytest.mark.parametrize("steps,chunk", [(5, 4), (6, 3)])
 def test_blocked_resident_matches_jnp(scene128, steps, chunk):
     """The block-tiled resident step (big grids under a raised VMEM limit):
