@@ -170,6 +170,26 @@ def auto_raised_plan(
     return None
 
 
+def auto_av_mode(ny: int, nx: int, chunk: int = DEFAULT_CHUNK) -> str:
+    """Measured av-reduction layout for the MONOLITHIC resident kernel
+    (round 5, scripts/exp_small.py, v5e, 20k-step single calls): 'vector'
+    (row-reduce only; the (chunk, nx) lane vectors leave the kernel as a
+    VMEM result and XLA reduces them outside the hot loop) ran ~0.10-0.13
+    us/step faster than the rounds-2-4 'scalar' full cross-lane reduce at
+    BOTH mono-band grids (128^2: 1.742 vs 1.842; 256^2: 3.460 vs 3.591),
+    and 'rows' sat in between — cross-lane shuffles are the measurable av
+    cost at VMEM-resident sizes, echoing the round-4 in-place-kernel
+    finding.  Per-step av values are independent of the chunk length in
+    this mode (each step's lane vector reduces in one fixed order), so
+    frames/segment decompositions stay self-consistent; vs 'scalar' the
+    grouping differs (the documented ~1-ulp av contract; fields bitwise).
+    Falls back to 'scalar' when the (chunk, nx) av buffer would eat the
+    calibrated _fits slack (modeled as chunk extra mask rows)."""
+    if _fits(ny, nx, ny + chunk):
+        return "vector"
+    return "scalar"
+
+
 def auto_limit_mb(params: LBMParams) -> int | None:
     """The raised scoped-VMEM limit the auto policy uses (auto_raised_plan
     without the kernel-choice bit), or None."""

@@ -461,9 +461,14 @@ def build_single_program(
 
         if resident_pallas.supports(params):
             # Whole-run fast path: chunks of steps fully resident in VMEM.
-            def make_run_all(num_steps):
+            # av_mode: measured layout (resident_pallas.auto_av_mode —
+            # 'vector' moves the per-step cross-lane |u| reduction outside
+            # the kernel, ~0.1 us/step at the mono-band grids).
+            _av_mode = resident_pallas.auto_av_mode(params.ny, params.nx)
+
+            def make_run_all(num_steps, _av=_av_mode):
                 return resident_pallas.make_run_all(
-                    params, np.asarray(obstacles), num_steps
+                    params, np.asarray(obstacles), num_steps, av_mode=_av
                 )
 
             variant = "pallas-resident"

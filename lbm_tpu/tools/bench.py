@@ -59,6 +59,7 @@ def run_bench(
     devices: int | None = None,
     repeats: int = 3,
     storage: str = "f32",
+    staleness: int | None = None,
 ) -> dict:
     from lbm_tpu.models.driver import RunConfig, run_simulation
     from lbm_tpu.utils.compcache import enable_persistent_cache
@@ -67,7 +68,8 @@ def run_bench(
     scene = load_or_make_scene(grid)
     num_steps = steps if steps is not None else scene.params.max_iters
     config = RunConfig(
-        variant=variant, num_devices=devices, num_steps=num_steps, storage=storage
+        variant=variant, num_devices=devices, num_steps=num_steps,
+        storage=storage, staleness=staleness,
     )
 
     best_mlups = 0.0
