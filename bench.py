@@ -51,7 +51,9 @@ def _device_reachable(timeout_s: float = _PROBE_TIMEOUT_S) -> bool:
 def _degraded_floor(grid: str, storage: str) -> float | None:
     from lbm_tpu.tools.perfcheck import CHECKS
 
-    for g, s, _steps, floor, _label in CHECKS:
+    for g, s, _steps, floor, _label, *extra in CHECKS:
+        if extra:
+            continue  # variant-pinned gate rows are not the auto floor
         if g == grid and s == storage:
             return floor / 4.0
     return None

@@ -43,6 +43,16 @@ CHECKS = [
     # skew K=4 at 14,733 MLUPS (fold-8 single-step was 4,183 same session).
     # Floor at half guards the policy itself — a return to fold-8 reads ~4k.
     ("8192x8192", "f32", 400, 7000, "fold-4 @2048 lanes, skew K=4"),
+    # ca regression gate (VERDICT r4 #5): the multi-device auto default's
+    # kernel family, exercised on one chip through the grid-level
+    # composition (--variant ca --devices 1: the ring exchange is the
+    # periodic wrap).  2048² K=8 rides the in-place split engine behind
+    # the parts-carried whole-run hook — measured 17.1k (round 4) /
+    # 17.5k (round 5) MLUPS on full driver runs; floor at half.  A
+    # regression in engine selection or the parts-carried hook reads
+    # ~12k (slab) or ~3k (per-step kernel) here.
+    ("2048x2048", "f32", 2000, 8500, "grid-level ca (inplace, parts-carried)",
+     {"variant": "ca", "devices": 1, "staleness": 8}),
 ]
 
 
@@ -50,8 +60,9 @@ def main() -> int:
     from lbm_tpu.tools.bench import run_bench
 
     failures = []
-    for grid, storage, steps, floor, label in CHECKS:
-        r = run_bench(grid=grid, steps=steps, repeats=2, storage=storage)
+    for grid, storage, steps, floor, label, *extra in CHECKS:
+        kw = extra[0] if extra else {}
+        r = run_bench(grid=grid, steps=steps, repeats=2, storage=storage, **kw)
         v = r["value"]
         ok = v >= floor
         print(

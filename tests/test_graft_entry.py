@@ -52,13 +52,14 @@ def test_dryrun_bootstraps_subprocess_when_devices_missing():
     )
     assert proc.returncode == 0, proc.stderr
     assert "BOOTSTRAP_OK" in proc.stdout
-    # 17 combos, each with an explicit correctness relation (VERDICT r2 #2):
+    # 18 combos, each with an explicit correctness relation (VERDICT r2 #2):
     # sync/overlap jnp bitwise, sync pallas, ca K=2 slab + K=4 under ALL
     # THREE forced engines (round 4) exact, the forced 2-way split-parts
     # in-place ca + its parts-carried whole-run hook (round 5),
-    # sync/overlap/ca i16, async 1/3 + chunked inside the model-derived
-    # envelope, and the exact ghost-age reconstruction (round 5).
-    assert proc.stdout.count("dryrun ok:") == 17
+    # sync/overlap/ca i16 + the forced i16 in-place ca engine (round 5),
+    # async 1/3 + chunked inside the model-derived envelope, and the exact
+    # ghost-age reconstruction (round 5).
+    assert proc.stdout.count("dryrun ok:") == 18
     assert proc.stdout.count("bitwise") >= 2
     assert "exact comm-avoiding" in proc.stdout
     assert "parts=2 split sub-sweeps" in proc.stdout
