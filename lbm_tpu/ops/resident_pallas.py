@@ -602,7 +602,7 @@ def _inplace_blocked_kernel(
     fin_ref,  # (9, ny, nx) VMEM in — ALIASED to f_ref below; never touched
     obst_ref,  # (ny, nx) f32 (or int8 at the capacity edge) VMEM in
     f_ref,  # (9, ny, nx) VMEM out == the live state, updated in place
-    av_ref,  # (chunk, 1) f32 SMEM out
+    av_ref,  # (chunk, 1) f32 SMEM out — or (chunk, nx) VMEM ("vector")
     *,
     chunk: int,
     ny: int,
@@ -613,6 +613,7 @@ def _inplace_blocked_kernel(
     w2a: float,
     storage: str = "f32",
     density: float = 0.0,
+    av_mode: str = "rows",
     ablate: str = "",
 ):
     del fin_ref  # aliased into f_ref; reads/writes go through one name so
@@ -736,11 +737,20 @@ def _inplace_blocked_kernel(
                 f_ref[k, r0 : r0 + B, :] = enq(out[k], k)
             if partial is not None:
                 tot = partial if tot is None else tot + partial
-        av_ref[t, 0] = (
-            F32(0.0) if tot is None
-            else tot if tot.ndim == 0
-            else jnp.sum(tot, dtype=F32)
-        )
+        if av_mode == "vector":
+            # Round-5: ship the (1, nx) row-reduced lane vector as a VMEM
+            # result row and reduce OUTSIDE the kernel (the mono kernel's
+            # vector layout) — removes the last per-step cross-lane
+            # shuffle from the hot loop.
+            av_ref[pl.ds(t, 1), :] = (
+                jnp.zeros_like(av_ref[0:1, :]) if tot is None else tot
+            )
+        else:
+            av_ref[t, 0] = (
+                F32(0.0) if tot is None
+                else tot if tot.ndim == 0
+                else jnp.sum(tot, dtype=F32)
+            )
 
     def body(t, _):
         one_step(t)
@@ -788,13 +798,19 @@ def make_chunk_runner(
         )
     if av_mode not in ("scalar", "rows", "vector"):
         raise ValueError(f"unknown av_mode {av_mode!r}")
-    if av_mode != "scalar" and (
-        inplace or force_blocked or not _fits(ny, nx, ny, limit_mb)
+    if av_mode != "scalar" and not inplace and (
+        force_blocked or not _fits(ny, nx, ny, limit_mb)
     ):
         raise ValueError(
-            "av_mode applies to the monolithic resident kernel only "
-            "(the blocked/in-place kernels already row-reduce per block)"
+            "av_mode applies to the monolithic and in-place resident "
+            "kernels (the ping-pong blocked kernel already row-reduces "
+            "per block)"
         )
+    if inplace and av_mode == "rows":
+        # The in-place kernel's default IS the rows layout (row-reduced
+        # block partials, one lane reduce per step) — 'rows' and 'scalar'
+        # name the same kernel there; 'vector' moves the lane reduce out.
+        av_mode = "scalar"
     state_bytes = 2 if storage == "i16" else 4
     if not (supports(params, limit_mb) or force_blocked or inplace):
         raise ValueError(f"grid {ny}x{nx} does not fit the VMEM-resident kernel")
@@ -823,6 +839,7 @@ def make_chunk_runner(
             w2a=float(w2a),
             storage=storage,
             density=float(params.density),
+            av_mode="vector" if av_mode == "vector" else "rows",
             ablate=_ablate,
         )
         # Single-buffer update: the state input aliases the state output, so

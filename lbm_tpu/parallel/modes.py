@@ -327,14 +327,17 @@ def ca_engine_choice(
     if forced == "inplace":
         return "inplace" if inp_ok else None
     if storage == "i16":
-        # i16 (round 5): the in-place engine gained the int16 codec
-        # (resident_pallas.make_ca_inplace_runner storage='i16'), lifting
-        # the round-4 f32-only gate.  Auto keeps the measured round-4
-        # default — the streaming slab sweep — and uses in-place as the
-        # COVERAGE extension where no slab maps (e.g. 4096-lane shards);
-        # LBM_CA_ENGINE=inplace forces it for the head-to-head.  The
-        # monolithic resident engine stays f32-only (narrow-box shards are
-        # exactly where the slab i16 sweep already maps).
+        # i16: slab-first is MEASURED policy (round-5 head-to-head,
+        # BENCHMARKS.md i16 table): the slab sweep won EVERY i16 shard
+        # shape (128x1024 K=4 13.6k vs 12.0k in-place; 256x1024 K=8
+        # 18.6k vs 16.7k; 512x2048 K=8 18.1k vs 17.2k; 1024x2048 K=8
+        # 17.6k vs 17.3k MLUPS/shard) — the in-place engine's per-window
+        # dequant/requant tax loses to once-per-sweep quantization, the
+        # same result as the grid-level i16 comparison.  In-place is the
+        # COVERAGE engine where no slab maps (e.g. 4096-lane shards);
+        # LBM_CA_ENGINE=inplace forces it.  The monolithic resident
+        # engine stays f32-only (narrow-box shards are exactly where the
+        # slab i16 sweep already maps).
         if slab_ok:
             return "slab"
         if inp_ok:

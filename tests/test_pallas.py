@@ -114,6 +114,37 @@ def test_resident_av_modes_match_scalar(scene128, av_mode):
     np.testing.assert_allclose(np.asarray(tot_m), np.asarray(tot_s), rtol=1e-6)
 
 
+@pytest.mark.parametrize("storage", ["f32", "i16"])
+def test_inplace_vector_av_matches_default(scene128, storage):
+    """The in-place kernel's round-5 'vector' av option (lane reduce moved
+    outside the kernel): fields BITWISE vs the default rows layout; av
+    within the documented ~1-ulp float-sum grouping contract (the outside
+    XLA lane reduce may associate differently than the in-kernel one).  A
+    measured perf negative at the 1024² flagship (BENCHMARKS Rooflines)
+    but kept as a tested option."""
+    params, mask = scene128
+    f0 = jnp.asarray(
+        lattice.equilibrium_rest(params.density, params.ny, params.nx)
+    )
+    if storage == "i16":
+        from lbm_tpu.ops import quant
+
+        f0 = quant.quantize(f0, params.density)
+    runs = [
+        jax.jit(resident_pallas.make_run_all(
+            params, mask, 6, chunk=3, interpret=True, inplace=True,
+            limit_mb=48, storage=storage, av_mode=m,
+        ))
+        for m in ("rows", "vector")
+    ]
+    f_r, tot_r = runs[0](f0)
+    f_v, tot_v = runs[1](f0)
+    np.testing.assert_array_equal(np.asarray(f_v), np.asarray(f_r))
+    np.testing.assert_allclose(
+        np.asarray(tot_v), np.asarray(tot_r), rtol=3e-6
+    )
+
+
 @pytest.mark.parametrize("steps,chunk", [(5, 4), (6, 3)])
 def test_blocked_resident_matches_jnp(scene128, steps, chunk):
     """The block-tiled resident step (big grids under a raised VMEM limit):
