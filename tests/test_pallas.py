@@ -114,6 +114,32 @@ def test_resident_av_modes_match_scalar(scene128, av_mode):
     np.testing.assert_allclose(np.asarray(tot_m), np.asarray(tot_s), rtol=1e-6)
 
 
+def test_auto_av_mode_policy():
+    """Mono-band grids ride the measured 'vector' av layout; the fallback
+    to 'scalar' engages only when the (chunk, nx) av buffer would eat the
+    calibrated _fits slack (modeled as chunk extra mask rows)."""
+    from lbm_tpu.parallel import modes
+    from lbm_tpu.params import LBMParams
+
+    assert resident_pallas.auto_av_mode(128, 128) == "vector"
+    assert resident_pallas.auto_av_mode(256, 256) == "vector"
+    # At the mono budget edge (128x1024 = exactly the calibrated budget)
+    # the (chunk, nx) av buffer no longer fits the slack.
+    assert resident_pallas._fits(128, 1024, 128)
+    assert resident_pallas.auto_av_mode(128, 1024) == "scalar"
+    # The driver's mono-resident program carries the policy into its
+    # whole-run hook (build succeeds and stays on the resident variant).
+    params = LBMParams(nx=128, ny=128, max_iters=4, reynolds_dim=10,
+                       density=0.1, accel=0.005, omega=1.85)
+    import numpy as np
+
+    mask = np.zeros((128, 128), bool)
+    mask[0] = mask[-1] = True
+    prog = modes.build_single_program(params, mask, backend="pallas")
+    assert prog.variant == "pallas-resident"
+    assert prog.make_run_all(4) is not None
+
+
 @pytest.mark.parametrize("storage", ["f32", "i16"])
 def test_inplace_vector_av_matches_default(scene128, storage):
     """The in-place kernel's round-5 'vector' av option (lane reduce moved
