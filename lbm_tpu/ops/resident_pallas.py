@@ -1471,13 +1471,13 @@ def supports_ca_inplace(
     return ca_inplace_parts(nloc, nx, K, ny_global, storage) is not None
 
 
-def _ca_inplace_kernel(
-    row_off_ref,  # (1, 1) int32 SMEM: global row of local row 0
-    fin_ref,  # (9, ext, nx) VMEM in — ALIASED into f_ref; never touched
-    obst_ref,  # (ext, nx) f32 VMEM in (K-deep ghost-extended)
-    f_ref,  # (9, ext, nx) VMEM out == the live slab, updated in place
-    av_ref,  # (K, 1) f32 SMEM out
-    ar_ref,  # (16, nx) f32 VMEM scratch: rows 0-8 = driven-row planes
+def _inplace_slab_sweep(
+    f_ref,  # (9, ext, nx) ref (VMEM in/out or scratch) — updated in place
+    obst_ref,  # (ext, nx) ref (f32 or int8 encodings)
+    ar_ref,  # (16, nx) f32 scratch: rows 0-8 = driven-row planes
+    base,  # global row of slab row 0 MINUS nothing: global row of f_ref
+    # row 0 (int or traced SMEM scalar; may be negative pre-wrap)
+    av_write,  # av_write(t, value): per-level |u| total sink
     *,
     K: int,
     nloc: int,
@@ -1489,9 +1489,17 @@ def _ca_inplace_kernel(
     w2a: float,
     storage: str = "f32",
     density: float = 0.0,
+    has_accel: bool = True,
 ):
-    del fin_ref  # aliased into f_ref (one name => Mosaic sees every
-    # read-write dependency in program order)
+    """K in-place blocked steps over a ghost-extended (9, nloc+2K, nx)
+    slab — the shared compute body of the ca in-place engine
+    (:func:`_ca_inplace_kernel`) and the HBM-pipelined whole-grid sweep
+    (ops/hbm_pallas.py), kept bitwise-identical between them.
+
+    ``has_accel=False`` (static) elides the driven-row machinery for
+    slabs that provably never see the accelerated row — the injection
+    masks would be all-False constants anyway; skipping them keeps the
+    unrolled multi-part kernel body small."""
     B = block_rows
     ext = nloc + 2 * K
     nb = ext // B
@@ -1511,7 +1519,6 @@ def _ca_inplace_kernel(
         return rows if rows.dtype == jnp.float32 else rows.astype(jnp.float32)
 
     iota = jax.lax.broadcasted_iota(jnp.int32, (ext, 1), 0)
-    base = row_off_ref[0, 0] - K
 
     def _arow(shift: int):
         # arow shifted by a streaming offset WITH the in-slab wrap: window
@@ -1520,31 +1527,35 @@ def _ca_inplace_kernel(
         jm = jnp.remainder(iota - shift, ext)
         return jnp.remainder(base + jm, ny_global) == accel_row
 
-    arow = _arow(0)
-    m_cy = {-1: _arow(-1), 0: arow, 1: _arow(1)}
-    arow_f = arow.astype(F32)
     central = (iota >= K) & (iota < K + nloc)
-    fluid_ar = (
-        jnp.sum(_mask_f32(obst_ref[...]) * arow_f, axis=0, keepdims=True)
-        == F32(0.0)
-    )
-    ar_mask = jnp.full((1, 1), True)
-    has_ar = [
-        jnp.sum(arow_f[i * B : (i + 1) * B]) > F32(0.0) for i in range(nb)
-    ]
-
-    # Seed the driven-row scratch from the sweep-start slab (one-hot
-    # extraction: at most one live mask row, so the masked sum IS the row).
-    for k in range(NS):
-        ar_ref[k : k + 1, :] = jnp.sum(
-            deq(f_ref[k], k) * arow_f, axis=0, keepdims=True
+    if has_accel:
+        arow = _arow(0)
+        m_cy = {-1: _arow(-1), 0: arow, 1: _arow(1)}
+        arow_f = arow.astype(F32)
+        fluid_ar = (
+            jnp.sum(_mask_f32(obst_ref[...]) * arow_f, axis=0, keepdims=True)
+            == F32(0.0)
         )
+        ar_mask = jnp.full((1, 1), True)
+        has_ar = [
+            jnp.sum(arow_f[i * B : (i + 1) * B]) > F32(0.0)
+            for i in range(nb)
+        ]
+
+        # Seed the driven-row scratch from the sweep-start slab (one-hot
+        # extraction: at most one live mask row, so the masked sum IS the
+        # row).
+        for k in range(NS):
+            ar_ref[k : k + 1, :] = jnp.sum(
+                deq(f_ref[k], k) * arow_f, axis=0, keepdims=True
+            )
 
     def one_step(t):
-        planes_ar = [ar_ref[k : k + 1, :] for k in range(NS)]
-        adj = stencil_math.accel_planes(
-            planes_ar, fluid_ar, ar_mask, F32(w1a), F32(w2a)
-        )
+        if has_accel:
+            planes_ar = [ar_ref[k : k + 1, :] for k in range(NS)]
+            adj = stencil_math.accel_planes(
+                planes_ar, fluid_ar, ar_mask, F32(w1a), F32(w2a)
+            )
         # Old row 0: block nb-1's wrap read after block 0 overwrote it.
         save0 = [deq(f_ref[k, 0:1, :], k) for k in range(NS)]
         carry = None  # old row r0-1 for the current block (value)
@@ -1581,7 +1592,7 @@ def _ca_inplace_kernel(
             # Dynamic driven-row injection: substitute the accel-adjusted
             # row wherever this window's positional mask fires — the exact
             # values the monolithic kernel's masked accel_planes produces.
-            if k not in (0, 2, 4):  # injection leaves 0/2/4 unchanged
+            if has_accel and k not in (0, 2, 4):  # 0/2/4 are unchanged
                 w = jnp.where(m_cy[cy][r0 : r0 + B], adj[k], w)
             return fused_pallas._roll_x(w, lattice.CX[k])
 
@@ -1610,22 +1621,56 @@ def _ca_inplace_kernel(
             # the injected row equals what a re-read of the stored state
             # would give (i16: the quantized value, keeping the scratch
             # consistent with every other read of that row).
-            @pl.when(has_ar[i])
-            def _(out=out, r0=r0):
-                sl = arow_f[r0 : r0 + B]
-                for k in range(NS):
-                    ar_ref[k : k + 1, :] = jnp.sum(
-                        deq(enq(out[k], k), k) * sl, axis=0, keepdims=True
-                    )
+            if has_accel:
+                @pl.when(has_ar[i])
+                def _(out=out, r0=r0):
+                    sl = arow_f[r0 : r0 + B]
+                    for k in range(NS):
+                        ar_ref[k : k + 1, :] = jnp.sum(
+                            deq(enq(out[k], k), k) * sl, axis=0, keepdims=True
+                        )
 
             tot = partial if tot is None else tot + partial
-        av_ref[t, 0] = jnp.sum(tot, dtype=F32)
+        av_write(t, jnp.sum(tot, dtype=F32))
 
     def body(t, _):
         one_step(t)
         return 0
 
     lax.fori_loop(0, K, body, 0)
+
+
+def _ca_inplace_kernel(
+    row_off_ref,  # (1, 1) int32 SMEM: global row of local row 0
+    fin_ref,  # (9, ext, nx) VMEM in — ALIASED into f_ref; never touched
+    obst_ref,  # (ext, nx) f32 VMEM in (K-deep ghost-extended)
+    f_ref,  # (9, ext, nx) VMEM out == the live slab, updated in place
+    av_ref,  # (K, 1) f32 SMEM out
+    ar_ref,  # (16, nx) f32 VMEM scratch: rows 0-8 = driven-row planes
+    *,
+    K: int,
+    nloc: int,
+    block_rows: int,
+    ny_global: int,
+    omega: float,
+    accel_row: int,
+    w1a: float,
+    w2a: float,
+    storage: str = "f32",
+    density: float = 0.0,
+):
+    del fin_ref  # aliased into f_ref (one name => Mosaic sees every
+    # read-write dependency in program order)
+
+    def av_write(t, value):
+        av_ref[t, 0] = value
+
+    _inplace_slab_sweep(
+        f_ref, obst_ref, ar_ref, row_off_ref[0, 0] - K, av_write,
+        K=K, nloc=nloc, block_rows=block_rows, ny_global=ny_global,
+        omega=omega, accel_row=accel_row, w1a=w1a, w2a=w2a,
+        storage=storage, density=density,
+    )
 
 
 def make_ca_inplace_runner(

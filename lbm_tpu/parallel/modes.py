@@ -209,10 +209,15 @@ def temporal_impl_choice(
       rows cost more than the trapezoid's ghost fetch.  Above that the
       pair wins again (4096^2 i16 K=8 17.2k vs 16.4k).
 
-    The other impl is the fallback where the preferred one cannot map."""
+    The other impl is the fallback where the preferred one cannot map.
+
+    ``'hbm'`` (ops/hbm_pallas.py, the triple-buffered manual-DMA
+    pipelined sweep) is a forceable third impl (``LBM_TEMPORAL_IMPL=hbm``)
+    for measurement; auto adopts it only where a full-driver A/B shows a
+    win (scripts/exp_hbm.py)."""
     import os
 
-    from lbm_tpu.ops import skew_pallas, temporal_pallas
+    from lbm_tpu.ops import hbm_pallas, skew_pallas, temporal_pallas
 
     impl = os.environ.get("LBM_TEMPORAL_IMPL", "auto")
     trap_ok = temporal_pallas.supports(params, K, clone_cols_nx, storage)
@@ -221,6 +226,8 @@ def temporal_impl_choice(
         return "trapezoid" if trap_ok else None
     if impl == "skew":
         return "skew" if skew_ok else None
+    if impl == "hbm":
+        return "hbm" if hbm_pallas.supports(params, K, clone_cols_nx, storage) else None
     if storage == "i16":
         f_bytes = 2
         working_set = 2 * 9 * params.ny * params.nx * f_bytes
@@ -395,7 +402,12 @@ def _temporal_run_all(
         return None
 
     obst = np.asarray(obstacles)
-    mod = skew_pallas if impl == "skew" else temporal_pallas
+    if impl == "hbm":
+        from lbm_tpu.ops import hbm_pallas
+
+        mod = hbm_pallas
+    else:
+        mod = skew_pallas if impl == "skew" else temporal_pallas
 
     def make_run_all(num_steps):
         return mod.make_run_all(
