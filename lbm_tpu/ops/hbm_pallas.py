@@ -103,7 +103,10 @@ def _plan(
     if storage != "f32" or K < 2 or K % 8:
         return None
     ny, nx = params.ny, params.nx
-    if fused_pallas._fold_factor(nx) != 1:
+    # The part slabs compute at the NATIVE lane width (no folding — the
+    # fold policy exists for the streaming block kernels); the only width
+    # requirements are lane alignment and the VMEM plan below.
+    if nx % 128:
         return None
     slots = int(os.environ.get("LBM_HBM_SLOTS", SLOTS))
     limit = int(os.environ.get("LBM_HBM_LIMIT", DEFAULT_LIMIT_MB))

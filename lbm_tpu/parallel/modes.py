@@ -457,12 +457,28 @@ def build_single_program(
             and fused_pallas.supports(params)
             and fused_pallas._fold_factor(params.nx) > 1
         ):
-            # Wide grids (nx = F*1024): delegate BEFORE building f0 so the
-            # folded path can do its own device-side folded init — feeding a
-            # device f0 through would round-trip multi-GB state via the host.
-            return _folded_single_program(
-                params, obstacles, f0, temporal_k=temporal_k
+            from lbm_tpu.ops import temporal_pallas
+
+            K_eff = (
+                temporal_k
+                if temporal_k is not None
+                else temporal_pallas.pick_k(params)
             )
+            if not (
+                K_eff >= 2
+                and temporal_impl_choice(params, K_eff) == "hbm"
+            ):
+                # Wide grids (nx = F*1024): delegate BEFORE building f0 so
+                # the folded path can do its own device-side folded init —
+                # feeding a device f0 through would round-trip multi-GB
+                # state via the host.  The hbm-pipelined sweep instead
+                # computes at the NATIVE lane width (its part slabs handle
+                # 2048+ lanes like the ca engines do); folding exists for
+                # the streaming block kernels' benefit, so an hbm-mapped
+                # grid falls through to the unfolded program.
+                return _folded_single_program(
+                    params, obstacles, f0, temporal_k=temporal_k
+                )
     if f0 is None:
         # Device-side broadcast init: no multi-GB host upload at 4096²+.
         f0 = lattice.equilibrium_rest_device(params.density, params.ny, params.nx)
